@@ -1,0 +1,234 @@
+"""Per-Gaussian projection preprocess — the differentiable front half of the
+tile rasterizer, as plain (vmappable, autodiff-able) JAX.
+
+Re-derivation of the reference CUDA preprocess
+(reference: cuda_rasterizer/forward.cu:74-256 computeCov2D/computeCov3D/
+preprocessCUDA, cuda_rasterizer/auxiliary.h:41-57,140-166
+ndc2Pix/getRect/in_frustum) in batched matrix form: everything is one fused
+set of elementwise ops + tiny matmuls over the [N] Gaussian axis, which XLA
+maps onto the VPU directly. The non-differentiable integer outputs (radii,
+tile rects) are stop-gradient'ed; gradients flow through mean2d / conic /
+depth exactly where the CUDA backward (backward.cu:144-396) provides them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterizer configuration (shapes must be static under jit).
+
+    tile = the screen-space tile edge in pixels. The reference hardcodes 16
+    (cuda_rasterizer/config.h BLOCK_X/BLOCK_Y); here it is a free performance
+    parameter because binning is recomputed per tile size. max_instances is
+    the static capacity of the duplicated (gaussian, tile) instance list that
+    replaces the reference's dynamically-sized binning buffers
+    (rasterizer_impl.cu:280-308).
+    """
+
+    tile: int = 16
+    max_instances: int = 2 ** 21
+    chunk: int = 256  # instances processed per Pallas blend step
+    near: float = 0.2  # near-cull plane (auxiliary.h:156)
+    alpha_min: float = 1.0 / 255.0  # forward.cu:422
+    alpha_clamp: float = 0.99  # forward.cu:421
+    transmittance_min: float = 1.0e-4  # forward.cu:425
+
+    def grid(self, width: int, height: int) -> tuple[int, int]:
+        tx = (width + self.tile - 1) // self.tile
+        ty = (height + self.tile - 1) // self.tile
+        return tx, ty
+
+
+class GaussianProjection(NamedTuple):
+    """Per-Gaussian screen-space quantities ([N] leading axis)."""
+
+    mean2d: jnp.ndarray  # (N, 2) pixel coords
+    conic: jnp.ndarray  # (N, 3) inverse 2D covariance (a, b, c)
+    depth: jnp.ndarray  # (N,) view-space z
+    radius: jnp.ndarray  # (N,) int32 pixel radius, 0 = culled
+    rect_min: jnp.ndarray  # (N, 2) int32 tile coords (x, y)
+    rect_max: jnp.ndarray  # (N, 2) int32 tile coords, exclusive
+    tiles_touched: jnp.ndarray  # (N,) int32
+
+
+def compute_cov3d(scales: jnp.ndarray, quats: jnp.ndarray,
+                  scale_modifier: float = 1.0) -> jnp.ndarray:
+    """World-space 3D covariance from (linear) scales and quaternions.
+
+    Sigma = R diag(s^2) R^T returned as the symmetric-packed
+    (xx, xy, xz, yy, yz, zz). Quaternions are used as-is (the reference's
+    computeCov3D does not re-normalize; callers normalize beforehand —
+    forward.cu:118-152).
+    """
+    s = scales * scale_modifier
+    w, x, y, z = quats[..., 0], quats[..., 1], quats[..., 2], quats[..., 3]
+    # Rows of R (standard (w,x,y,z) rotation matrix).
+    r0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1)
+    r1 = jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1)
+    r2 = jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1)
+    R = jnp.stack([r0, r1, r2], axis=-2)  # (N, 3, 3)
+    M = R * s[..., None, :]  # R @ diag(s)
+    sigma = M @ jnp.swapaxes(M, -1, -2)
+    return jnp.stack(
+        [
+            sigma[..., 0, 0],
+            sigma[..., 0, 1],
+            sigma[..., 0, 2],
+            sigma[..., 1, 1],
+            sigma[..., 1, 2],
+            sigma[..., 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def _ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
+    """reference: auxiliary.h:41-45"""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def compute_cov2d(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    world_view_transform: jnp.ndarray,
+    focal_x: float,
+    focal_y: float,
+    tan_fovx: float,
+    tan_fovy: float,
+) -> jnp.ndarray:
+    """EWA splatting 2D covariance (a, b, c) with the +0.3 low-pass filter.
+
+    cov2D = J W Sigma W^T J^T with the view-direction clamp of the reference
+    (forward.cu:74-113). world_view_transform is W2C^T (row-vector form).
+    """
+    W2C = world_view_transform.T  # (4,4) column-vector W2C
+    t = means3d @ W2C[:3, :3].T + W2C[:3, 3]  # view-space points (N, 3)
+
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tz = t[..., 2]
+    txtz = t[..., 0] / tz
+    tytz = t[..., 1] / tz
+    tx = jnp.clip(txtz, -limx, limx) * tz
+    ty = jnp.clip(tytz, -limy, limy) * tz
+
+    # J is the 2x3 projection Jacobian; fold J@W into one (N, 2, 3) tensor.
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack(
+        [
+            jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
+            jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1),
+        ],
+        axis=-2,
+    )  # (N, 2, 3)
+    JW = J @ W2C[:3, :3]  # (N, 2, 3)
+
+    # Unpack symmetric cov3d.
+    c = cov3d
+    Vrk = jnp.stack(
+        [
+            jnp.stack([c[..., 0], c[..., 1], c[..., 2]], -1),
+            jnp.stack([c[..., 1], c[..., 3], c[..., 4]], -1),
+            jnp.stack([c[..., 2], c[..., 4], c[..., 5]], -1),
+        ],
+        axis=-2,
+    )  # (N, 3, 3)
+
+    cov = JW @ Vrk @ jnp.swapaxes(JW, -1, -2)  # (N, 2, 2)
+    a = cov[..., 0, 0] + 0.3
+    b = cov[..., 0, 1]
+    cc = cov[..., 1, 1] + 0.3
+    return jnp.stack([a, b, cc], axis=-1)
+
+
+def preprocess_gaussians(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    world_view_transform: jnp.ndarray,
+    full_proj_transform: jnp.ndarray,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    config: RasterConfig,
+    valid_in: jnp.ndarray | None = None,
+) -> GaussianProjection:
+    """Project Gaussians to screen space and compute tile footprints.
+
+    Equivalent of preprocessCUDA (forward.cu:154-256) minus color (colors are
+    always precomputed in this framework, matching the reference's live path
+    src/gaussian_renderer.cpp:96-99). `valid_in` masks padded / inactive
+    entries of fixed-capacity buffers.
+    """
+    n = means3d.shape[0]
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
+
+    ones = jnp.ones((n, 1), dtype=means3d.dtype)
+    hom = jnp.concatenate([means3d, ones], axis=-1)
+
+    p_view = hom @ world_view_transform  # row-vector transform
+    depth = p_view[..., 2]
+
+    p_hom = hom @ full_proj_transform
+    p_w = 1.0 / (p_hom[..., 3] + 1.0e-7)
+    p_proj = p_hom[..., :3] * p_w[..., None]
+
+    mean2d = jnp.stack(
+        [_ndc2pix(p_proj[..., 0], width), _ndc2pix(p_proj[..., 1], height)], axis=-1
+    )
+
+    cov = compute_cov2d(
+        means3d, cov3d, world_view_transform, focal_x, focal_y, tan_fovx, tan_fovy
+    )
+    det = cov[..., 0] * cov[..., 2] - cov[..., 1] * cov[..., 1]
+    det_safe = jnp.where(det == 0.0, 1.0, det)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack(
+        [cov[..., 2] * inv_det, -cov[..., 1] * inv_det, cov[..., 0] * inv_det], axis=-1
+    )
+
+    mid = 0.5 * (cov[..., 0] + cov[..., 2])
+    lam_max = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
+
+    valid = depth > config.near
+    valid &= det != 0.0
+    if valid_in is not None:
+        valid &= valid_in
+
+    # Tile footprint (auxiliary.h:47-57 getRect), ints are non-differentiable.
+    tx, ty = config.grid(width, height)
+    px = jax.lax.stop_gradient(mean2d[..., 0])
+    py = jax.lax.stop_gradient(mean2d[..., 1])
+    r = jax.lax.stop_gradient(radius_f)
+    tile = float(config.tile)
+    rect_min_x = jnp.clip(jnp.floor((px - r) / tile), 0, tx).astype(jnp.int32)
+    rect_min_y = jnp.clip(jnp.floor((py - r) / tile), 0, ty).astype(jnp.int32)
+    rect_max_x = jnp.clip(jnp.floor((px + r + tile - 1) / tile), 0, tx).astype(jnp.int32)
+    rect_max_y = jnp.clip(jnp.floor((py + r + tile - 1) / tile), 0, ty).astype(jnp.int32)
+
+    tiles_touched = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
+    valid &= tiles_touched > 0
+
+    radius = jnp.where(valid, r, 0.0).astype(jnp.int32)
+    tiles_touched = jnp.where(valid, tiles_touched, 0)
+
+    return GaussianProjection(
+        mean2d=mean2d,
+        conic=conic,
+        depth=depth,
+        radius=radius,
+        rect_min=jnp.stack([rect_min_x, rect_min_y], axis=-1),
+        rect_max=jnp.stack([rect_max_x, rect_max_y], axis=-1),
+        tiles_touched=tiles_touched,
+    )

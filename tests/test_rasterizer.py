@@ -1,0 +1,164 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segs_slam_tpu.core import Camera
+from segs_slam_tpu.core.keyframe import Keyframe
+from segs_slam_tpu.ops.rasterizer import RasterConfig, rasterize, visible_filter
+from segs_slam_tpu.ops.rasterizer.reference import render_reference
+
+
+WIDTH, HEIGHT = 48, 32
+
+
+def _scene(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    cam = Camera(
+        camera_id=0, width=WIDTH, height=HEIGHT, fx=40.0, fy=40.0,
+        cx=WIDTH / 2, cy=HEIGHT / 2,
+    )
+    kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
+    means = rng.uniform([-1.5, -1.0, 2.0], [1.5, 1.0, 6.0], size=(n, 3))
+    scales = np.exp(rng.uniform(-3.2, -1.8, size=(n, 3)))
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.2, 0.95, size=(n,))
+    colors = rng.uniform(0.0, 1.0, size=(n, 3))
+    bg = np.zeros(3)
+    return kf, means, scales, quats, opac, colors, bg
+
+
+def _run_ours(kf, means, scales, quats, opac, colors, bg, config):
+    return rasterize(
+        jnp.asarray(means, jnp.float32),
+        jnp.asarray(scales, jnp.float32),
+        jnp.asarray(quats, jnp.float32),
+        jnp.asarray(opac, jnp.float32),
+        jnp.asarray(colors, jnp.float32),
+        jnp.asarray(kf.world_view_transform),
+        jnp.asarray(kf.full_proj_transform),
+        WIDTH,
+        HEIGHT,
+        kf.camera.tan_fovx,
+        kf.camera.tan_fovy,
+        jnp.asarray(bg, jnp.float32),
+        config=config,
+    )
+
+
+@pytest.fixture(scope="module")
+def small_config():
+    return RasterConfig(tile=16, max_instances=4096, chunk=64)
+
+
+def test_forward_matches_reference(small_config):
+    kf, means, scales, quats, opac, colors, bg = _scene()
+    ref = render_reference(
+        means, scales, quats, opac, colors,
+        kf.world_view_transform, kf.full_proj_transform,
+        WIDTH, HEIGHT, kf.camera.tan_fovx, kf.camera.tan_fovy, bg,
+        tile=small_config.tile,
+    )
+    out = _run_ours(kf, means, scales, quats, opac, colors, bg, small_config)
+    img = np.asarray(out["image"])
+    assert img.shape == (3, HEIGHT, WIDTH)
+    np.testing.assert_allclose(img, ref["image"], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["final_T"]), ref["final_T"], atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(out["radii"]), ref["radii"])
+    np.testing.assert_array_equal(np.asarray(out["n_contrib"]), ref["n_contrib"])
+
+
+def test_forward_nonzero_background(small_config):
+    kf, means, scales, quats, opac, colors, _ = _scene(seed=3)
+    bg = np.array([1.0, 1.0, 1.0])
+    ref = render_reference(
+        means, scales, quats, opac, colors,
+        kf.world_view_transform, kf.full_proj_transform,
+        WIDTH, HEIGHT, kf.camera.tan_fovx, kf.camera.tan_fovy, bg,
+        tile=small_config.tile,
+    )
+    out = _run_ours(kf, means, scales, quats, opac, colors, bg, small_config)
+    np.testing.assert_allclose(np.asarray(out["image"]), ref["image"], atol=2e-4)
+
+
+def test_forward_behind_camera_culled(small_config):
+    kf, means, scales, quats, opac, colors, bg = _scene(n=8)
+    means[:4, 2] = -3.0  # behind camera
+    out = _run_ours(kf, means, scales, quats, opac, colors, bg, small_config)
+    radii = np.asarray(out["radii"])
+    assert (radii[:4] == 0).all()
+
+
+def test_gradients_match_dense_autodiff(small_config):
+    from segs_slam_tpu.ops.rasterizer.dense import rasterize_dense
+
+    kf, means, scales, quats, opac, colors, bg = _scene(n=24, seed=7)
+
+    target = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(3, HEIGHT, WIDTH)), jnp.float32
+    )
+    common = dict(
+        world_view_transform=jnp.asarray(kf.world_view_transform),
+        full_proj_transform=jnp.asarray(kf.full_proj_transform),
+        width=WIDTH,
+        height=HEIGHT,
+        tan_fovx=kf.camera.tan_fovx,
+        tan_fovy=kf.camera.tan_fovy,
+        bg=jnp.asarray(bg, jnp.float32),
+        config=small_config,
+    )
+
+    def loss_ours(means_, opac_, colors_, scales_, quats_):
+        out = rasterize(means_, scales_, quats_, opac_, colors_, **common)
+        return jnp.sum((out["image"] - target) ** 2)
+
+    def loss_dense(means_, opac_, colors_, scales_, quats_):
+        out = rasterize_dense(means_, scales_, quats_, opac_, colors_, **common)
+        return jnp.sum((out["image"] - target) ** 2)
+
+    args = (
+        jnp.asarray(means, jnp.float32),
+        jnp.asarray(opac, jnp.float32),
+        jnp.asarray(colors, jnp.float32),
+        jnp.asarray(scales, jnp.float32),
+        jnp.asarray(quats, jnp.float32),
+    )
+    # Same forward values first.
+    np.testing.assert_allclose(
+        float(loss_ours(*args)), float(loss_dense(*args)), rtol=1e-5
+    )
+    g_ours = jax.grad(loss_ours, argnums=(0, 1, 2, 3, 4))(*args)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2, 3, 4))(*args)
+    names = ["means", "opac", "colors", "scales", "quats"]
+    for go, gd, name in zip(g_ours, g_dense, names):
+        go, gd = np.asarray(go), np.asarray(gd)
+        assert np.isfinite(go).all(), name
+        scale = np.abs(gd).max() + 1e-6
+        np.testing.assert_allclose(
+            go / scale, gd / scale, atol=2e-4, err_msg=name
+        )
+
+
+def test_visible_filter(small_config):
+    kf, means, scales, quats, opac, colors, bg = _scene(n=16)
+    means[:3, 2] = -1.0
+    vis = visible_filter(
+        jnp.asarray(means, jnp.float32),
+        jnp.asarray(scales, jnp.float32),
+        jnp.asarray(quats, jnp.float32),
+        jnp.asarray(kf.world_view_transform),
+        jnp.asarray(kf.full_proj_transform),
+        WIDTH, HEIGHT, kf.camera.tan_fovx, kf.camera.tan_fovy,
+        config=small_config,
+    )
+    vis = np.asarray(vis)
+    assert not vis[:3].any()
+    assert vis[3:].any()
+
+
+def test_instance_overflow_reported():
+    config = RasterConfig(tile=16, max_instances=64, chunk=32)
+    kf, means, scales, quats, opac, colors, bg = _scene(n=60)
+    out = _run_ours(kf, means, scales, quats, opac, colors, bg, config)
+    assert int(out["num_instances"]) > 0
