@@ -1,0 +1,67 @@
+"""Driver benchmark: rendering FPS of the tile rasterizer on real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the north-star target of >= 100 rendered FPS on one v5e chip
+(BASELINE.md; the reference repo commits no absolute FPS numbers — FPS is
+computed per run by eval/run.py:156-158).
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from segs_slam_tpu.core import Camera
+    from segs_slam_tpu.core.keyframe import Keyframe
+    from segs_slam_tpu.ops.rasterizer import RasterConfig, rasterize
+
+    width, height, n = 640, 480, 100_000
+    rng = np.random.default_rng(0)
+    cam = Camera(camera_id=0, width=width, height=height, fx=500.0, fy=500.0,
+                 cx=width / 2, cy=height / 2)
+    kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
+    means = rng.uniform([-3, -2, 1.5], [3, 2, 10], size=(n, 3)).astype(np.float32)
+    scales = np.exp(rng.uniform(-4.5, -3.0, (n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.1, 0.9, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    cfg = RasterConfig(tile=16, max_instances=2**20, chunk=256)
+
+    args = dict(
+        world_view_transform=jnp.asarray(kf.world_view_transform),
+        full_proj_transform=jnp.asarray(kf.full_proj_transform),
+        width=width, height=height,
+        tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+        bg=jnp.zeros(3), config=cfg,
+        interpret=jax.default_backend() not in ("tpu",),
+    )
+
+    @jax.jit
+    def fwd(m, s, q, o, c):
+        return rasterize(m, s, q, o, c, **args)["image"]
+
+    arrs = tuple(map(jnp.asarray, (means, scales, quats, opac, colors)))
+    img = fwd(*arrs)
+    img.block_until_ready()
+    iters = 30
+    t0 = time.time()
+    for _ in range(iters):
+        img = fwd(*arrs)
+    img.block_until_ready()
+    fps = iters / (time.time() - t0)
+
+    print(json.dumps({
+        "metric": "render_fps_640x480_100k",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -65,6 +66,11 @@ def bin_gaussians(
     num_tiles = tx * ty
     cap = config.max_instances
     ch = config.chunk
+
+    # Force materialization of the small per-gaussian tables. Without this
+    # XLA fuses the entire preprocess chain INTO the 1M-index gathers below,
+    # recomputing it per instance access (measured 39 ms vs 0.03 ms).
+    proj = GaussianProjection(*jax.lax.optimization_barrier(tuple(proj)))
 
     touched = proj.tiles_touched.astype(jnp.int32)
     cum = jnp.cumsum(touched)  # inclusive

@@ -94,6 +94,17 @@ def _ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
     return ((v + 1.0) * size - 1.0) * 0.5
 
 
+def _transform_rows(x, y, z, M):
+    """(x, y, z, 1) @ M for [N]-vector coords and a 4x4 (traced-scalar)
+    matrix, fully elementwise — XLA on TPU lowers tiny [N,4]x[4,4] matmuls
+    terribly (measured ~1 ms per 100k points), while 16 scalar-coefficient
+    vector FMAs are essentially free."""
+    out = []
+    for j in range(4):
+        out.append(x * M[0, j] + y * M[1, j] + z * M[2, j] + M[3, j])
+    return out
+
+
 def compute_cov2d(
     means3d: jnp.ndarray,
     cov3d: jnp.ndarray,
@@ -107,46 +118,58 @@ def compute_cov2d(
 
     cov2D = J W Sigma W^T J^T with the view-direction clamp of the reference
     (forward.cu:74-113). world_view_transform is W2C^T (row-vector form).
+    Expanded to scalar-coefficient elementwise form (no per-gaussian 3x3
+    matmuls — see _transform_rows note).
     """
-    W2C = world_view_transform.T  # (4,4) column-vector W2C
-    t = means3d @ W2C[:3, :3].T + W2C[:3, 3]  # view-space points (N, 3)
+    x, y, z = means3d[..., 0], means3d[..., 1], means3d[..., 2]
+    wvt = world_view_transform
+    tx0, ty0, tz, _ = _transform_rows(x, y, z, wvt)
+
+    # Degenerate (culled) gaussians can sit exactly on the camera plane
+    # (tz == 0); they are masked out of the forward, but an inf here would
+    # still poison gradients via 0 * inf = nan. Sign-preserving clamp.
+    tz = jnp.where(jnp.abs(tz) < 1e-6, jnp.where(tz < 0, -1e-6, 1e-6), tz)
 
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
-    tz = t[..., 2]
-    txtz = t[..., 0] / tz
-    tytz = t[..., 1] / tz
+    txtz = tx0 / tz
+    tytz = ty0 / tz
     tx = jnp.clip(txtz, -limx, limx) * tz
     ty = jnp.clip(tytz, -limy, limy) * tz
 
-    # J is the 2x3 projection Jacobian; fold J@W into one (N, 2, 3) tensor.
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
-            jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
-    JW = J @ W2C[:3, :3]  # (N, 2, 3)
+    # J rows (2x3 Jacobian): j00, 0, j02 / 0, j11, j12  — [N] vectors.
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z2
 
-    # Unpack symmetric cov3d.
-    c = cov3d
-    Vrk = jnp.stack(
-        [
-            jnp.stack([c[..., 0], c[..., 1], c[..., 2]], -1),
-            jnp.stack([c[..., 1], c[..., 3], c[..., 4]], -1),
-            jnp.stack([c[..., 2], c[..., 4], c[..., 5]], -1),
-        ],
-        axis=-2,
-    )  # (N, 3, 3)
+    # W2C rotation entries (scalars). wvt = W2C^T so W2C[i][j] = wvt[j][i].
+    w = [[wvt[j, i] for j in range(3)] for i in range(3)]  # w[i][j] = W2C[i,j]
 
-    cov = JW @ Vrk @ jnp.swapaxes(JW, -1, -2)  # (N, 2, 2)
-    a = cov[..., 0, 0] + 0.3
-    b = cov[..., 0, 1]
-    cc = cov[..., 1, 1] + 0.3
+    # M = J @ W2C3: M0j = j00*w[0][j] + j02*w[2][j]; M1j = j11*w[1][j] + j12*w[2][j]
+    m00 = j00 * w[0][0] + j02 * w[2][0]
+    m01 = j00 * w[0][1] + j02 * w[2][1]
+    m02 = j00 * w[0][2] + j02 * w[2][2]
+    m10 = j11 * w[1][0] + j12 * w[2][0]
+    m11 = j11 * w[1][1] + j12 * w[2][1]
+    m12 = j11 * w[1][2] + j12 * w[2][2]
+
+    c0, c1, c2 = cov3d[..., 0], cov3d[..., 1], cov3d[..., 2]
+    c3, c4, c5 = cov3d[..., 3], cov3d[..., 4], cov3d[..., 5]
+
+    # V @ M^T rows for M row 0 and row 1 (V symmetric).
+    v0m0 = c0 * m00 + c1 * m01 + c2 * m02
+    v1m0 = c1 * m00 + c3 * m01 + c4 * m02
+    v2m0 = c2 * m00 + c4 * m01 + c5 * m02
+    v0m1 = c0 * m10 + c1 * m11 + c2 * m12
+    v1m1 = c1 * m10 + c3 * m11 + c4 * m12
+    v2m1 = c2 * m10 + c4 * m11 + c5 * m12
+
+    a = m00 * v0m0 + m01 * v1m0 + m02 * v2m0 + 0.3
+    b = m00 * v0m1 + m01 * v1m1 + m02 * v2m1
+    cc = m10 * v0m1 + m11 * v1m1 + m12 * v2m1 + 0.3
     return jnp.stack([a, b, cc], axis=-1)
 
 
@@ -169,22 +192,22 @@ def preprocess_gaussians(
     src/gaussian_renderer.cpp:96-99). `valid_in` masks padded / inactive
     entries of fixed-capacity buffers.
     """
-    n = means3d.shape[0]
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
 
-    ones = jnp.ones((n, 1), dtype=means3d.dtype)
-    hom = jnp.concatenate([means3d, ones], axis=-1)
+    mx, my, mz = means3d[..., 0], means3d[..., 1], means3d[..., 2]
+    _, _, depth, _ = _transform_rows(mx, my, mz, world_view_transform)
 
-    p_view = hom @ world_view_transform  # row-vector transform
-    depth = p_view[..., 2]
-
-    p_hom = hom @ full_proj_transform
-    p_w = 1.0 / (p_hom[..., 3] + 1.0e-7)
-    p_proj = p_hom[..., :3] * p_w[..., None]
+    hx, hy, hz, hw = _transform_rows(mx, my, mz, full_proj_transform)
+    denom = hw + 1.0e-7
+    # guard the w-divide for degenerate (masked) gaussians — see tz note
+    denom = jnp.where(
+        jnp.abs(denom) < 1e-6, jnp.where(denom < 0, -1e-6, 1e-6), denom
+    )
+    p_w = 1.0 / denom
 
     mean2d = jnp.stack(
-        [_ndc2pix(p_proj[..., 0], width), _ndc2pix(p_proj[..., 1], height)], axis=-1
+        [_ndc2pix(hx * p_w, width), _ndc2pix(hy * p_w, height)], axis=-1
     )
 
     cov = compute_cov2d(

@@ -1,0 +1,116 @@
+"""Optimization / mapper configuration.
+
+Mirrors the Optimization.* and the frequency-regularization Mapper.* keys of
+the reference's gaussian-mapper YAMLs (reference:
+cfg/gaussian_mapper/RGB-D/Replica/replica_rgbd.yaml, parsed by
+src/gaussian_mapper.cpp:224-521; defaults in include/gaussian_parameters.h).
+Values default to the Replica RGB-D config — the north-star benchmark.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from segs_slam_tpu.train.schedules import ConstantLR, ExponLR
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizationConfig:
+    iterations: int = 30_000
+
+    # anchor position lr (zero for the live SLAM configs)
+    position_lr_init: float = 0.0
+    position_lr_final: float = 0.0
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+
+    offset_lr_init: float = 0.07
+    offset_lr_final: float = 0.0001
+    offset_lr_delay_mult: float = 0.01
+    offset_lr_max_steps: int = 30_000
+
+    feature_lr: float = 0.0010
+    opacity_lr: float = 0.02
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+
+    mlp_opacity_lr_init: float = 0.002
+    mlp_opacity_lr_final: float = 0.00002
+    mlp_opacity_lr_delay_mult: float = 0.01
+    mlp_opacity_lr_max_steps: int = 30_000
+
+    mlp_cov_lr_init: float = 0.004
+    mlp_cov_lr_final: float = 0.004
+    mlp_cov_lr_delay_mult: float = 0.01
+    mlp_cov_lr_max_steps: int = 30_000
+
+    mlp_color_lr_init: float = 0.008
+    mlp_color_lr_final: float = 0.00005
+    mlp_color_lr_delay_mult: float = 0.01
+    mlp_color_lr_max_steps: int = 30_000
+
+    mlp_featurebank_lr_init: float = 0.01
+    mlp_featurebank_lr_final: float = 0.00001
+    mlp_featurebank_lr_delay_mult: float = 0.01
+    mlp_featurebank_lr_max_steps: int = 30_000
+
+    appearance_lr_init: float = 0.05
+    appearance_lr_final: float = 0.0005
+    appearance_lr_delay_mult: float = 0.01
+    appearance_lr_max_steps: int = 30_000
+
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+
+    # densification window (reference: trainForOneIteration
+    # src/gaussian_mapper.cpp:961-972)
+    start_stat: int = 500
+    update_from: int = 1500
+    update_interval: int = 100
+    update_until: int = 25_500
+    min_opacity: float = 0.005
+    success_threshold: float = 0.8
+    densify_grad_threshold: float = 0.0002
+
+    # frequency regularization (reference: src/gaussian_mapper.cpp:930-945)
+    use_frequency_regularization: bool = True
+    use_multi_resolution: bool = True
+    scale_num: int = 3
+    frequency_regulization_until: int = 25_500
+    high_frequency_regularization_start: int = 5_000
+    lambda_frequency_high: float = 0.01
+    lambda_frequency_low: float = 0.0
+
+    spatial_lr_scale: float = 1.0  # cameras_extent (getNerfppNorm radius)
+
+    def lr_schedules(self) -> dict:
+        """Schedules per param-tree path prefix; mirrors updateLearningRate
+        (src/gaussian_model.cpp:874-998): anchor/offset/mlp_* are scheduled,
+        feat/opacity/scaling/rotation are constants set via the mapper's
+        setters each iteration."""
+        s = self.spatial_lr_scale
+        return {
+            "anchor": ExponLR(self.position_lr_init * s, self.position_lr_final * s,
+                              0, self.position_lr_delay_mult, self.position_lr_max_steps),
+            "offset": ExponLR(self.offset_lr_init * s, self.offset_lr_final * s,
+                              0, self.offset_lr_delay_mult, self.offset_lr_max_steps),
+            "feat": ConstantLR(self.feature_lr),
+            "opacity": ConstantLR(self.opacity_lr),
+            "scaling": ConstantLR(self.scaling_lr),
+            "rotation": ConstantLR(self.rotation_lr),
+            "mlp_opacity": ExponLR(self.mlp_opacity_lr_init, self.mlp_opacity_lr_final,
+                                   0, self.mlp_opacity_lr_delay_mult,
+                                   self.mlp_opacity_lr_max_steps),
+            "mlp_cov": ExponLR(self.mlp_cov_lr_init, self.mlp_cov_lr_final,
+                               0, self.mlp_cov_lr_delay_mult, self.mlp_cov_lr_max_steps),
+            "mlp_color": ExponLR(self.mlp_color_lr_init, self.mlp_color_lr_final,
+                                 0, self.mlp_color_lr_delay_mult,
+                                 self.mlp_color_lr_max_steps),
+            "mlp_featurebank": ExponLR(self.mlp_featurebank_lr_init,
+                                       self.mlp_featurebank_lr_final, 0,
+                                       self.mlp_featurebank_lr_delay_mult,
+                                       self.mlp_featurebank_lr_max_steps),
+            "appearance": ExponLR(self.appearance_lr_init, self.appearance_lr_final,
+                                  0, self.appearance_lr_delay_mult,
+                                  self.appearance_lr_max_steps),
+        }

@@ -1,0 +1,240 @@
+"""The jitted training step: render -> loss -> backward -> stats -> Adam.
+
+One fused function of fixed shapes = the whole of
+GaussianMapper::trainForOneIteration's device work (reference:
+src/gaussian_mapper.cpp:823-1031) minus the densify trigger (see densify.py,
+invoked by the host loop every update_interval iterations). Where the
+reference synchronizes the device every iteration
+(src/gaussian_mapper.cpp:953), this step is one async dispatch; the host only
+syncs at queue/metric boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from segs_slam_tpu.models.anchors import AnchorState
+from segs_slam_tpu.models.config import ModelConfig
+from segs_slam_tpu.models.renderer import render
+from segs_slam_tpu.ops.rasterizer import RasterConfig
+from segs_slam_tpu.train import losses, optimizer
+from segs_slam_tpu.train.config import OptimizationConfig
+
+
+class DensifyStats(NamedTuple):
+    """Densification statistics (reference: include/gaussian_model.h
+    opacity_accum / anchor_demon / offset_gradient_accum / offset_denom,
+    updated by training_statis, src/gaussian_model.cpp:1459-1503)."""
+
+    opacity_accum: jnp.ndarray  # (cap,)
+    anchor_demon: jnp.ndarray  # (cap,)
+    offset_grad_accum: jnp.ndarray  # (cap, K)
+    offset_denom: jnp.ndarray  # (cap, K)
+
+    @staticmethod
+    def zeros(cap: int, k: int) -> "DensifyStats":
+        return DensifyStats(
+            opacity_accum=jnp.zeros((cap,), jnp.float32),
+            anchor_demon=jnp.zeros((cap,), jnp.float32),
+            offset_grad_accum=jnp.zeros((cap, k), jnp.float32),
+            offset_denom=jnp.zeros((cap, k), jnp.float32),
+        )
+
+
+class TrainState(NamedTuple):
+    anchors: AnchorState
+    decoders: dict
+    adam: optimizer.AdamState
+    stats: DensifyStats
+    step: jnp.ndarray  # () int32
+
+
+def init_train_state(anchors: AnchorState, decoders: dict,
+                     config: ModelConfig) -> TrainState:
+    params = {"anchors": anchors.params(), "decoders": decoders}
+    return TrainState(
+        anchors=anchors,
+        decoders=decoders,
+        adam=optimizer.init(params),
+        stats=DensifyStats.zeros(config.capacity, config.n_offsets),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+_DECODER_GROUP = {
+    "opacity": "mlp_opacity",
+    "cov": "mlp_cov",
+    "color": "mlp_color",
+    "appearance": "appearance",
+    "embedding": "appearance",
+    "feat_bank": "mlp_featurebank",
+}
+
+
+def _lr_tree(params: dict, schedules: dict, step) -> dict:
+    """Build a pytree of scalar LRs matching `params` from path->schedule."""
+
+    def assign(path, _leaf):
+        top = path[0].key
+        if top == "anchors":
+            return schedules[path[1].key](step)
+        return schedules[_DECODER_GROUP[path[1].key]](step)
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def make_train_step(
+    model_config: ModelConfig,
+    opt_config: OptimizationConfig,
+    raster_config: RasterConfig,
+    width: int,
+    height: int,
+    interpret: bool | None = None,
+):
+    cap, k = model_config.capacity, model_config.n_offsets
+    schedules = opt_config.lr_schedules()
+    freq_scales = tuple(1.0 / 2**i for i in range(opt_config.scale_num))
+
+    def step_fn(ts: TrainState, cam: dict, gt_image: jnp.ndarray,
+                bg: jnp.ndarray):
+        it = ts.step + 1
+
+        params = {"anchors": ts.anchors.params(), "decoders": ts.decoders}
+        mean2d_zero = jnp.zeros((cap * k, 2), jnp.float32)
+
+        def loss_fn(params, mean2d_offset):
+            anchors = ts.anchors.replace_params(params["anchors"])
+            out = render(
+                anchors,
+                params["decoders"],
+                cam,
+                width,
+                height,
+                bg,
+                model_config,
+                raster_config,
+                mean2d_offset=mean2d_offset,
+                interpret=interpret,
+            )
+            img = out.image
+
+            # mask of non-black gt pixels (reference:
+            # src/gaussian_mapper.cpp:917-922)
+            mask_rgb = jnp.any(gt_image != 0.0, axis=0, keepdims=True).astype(
+                jnp.float32
+            )
+            img_m = img * mask_rgb
+            gt_m = gt_image * mask_rgb
+
+            l1 = losses.l1_loss(img_m, gt_m)
+            ssim_v = losses.ssim(img_m, gt_m)
+            # scaling regularizer over the rendered gaussians
+            valid_f = out.neural.valid.astype(jnp.float32)
+            prod = jnp.prod(out.neural.scaling, axis=-1)
+            scaling_reg = jnp.sum(prod * valid_f) / jnp.maximum(
+                jnp.sum(valid_f), 1.0
+            )
+
+            lam = opt_config.lambda_dssim
+            loss = (1.0 - lam) * l1 + lam * (1.0 - ssim_v) + 0.01 * scaling_reg
+
+            if opt_config.use_frequency_regularization:
+                w_low = jnp.where(
+                    it < opt_config.frequency_regulization_until,
+                    opt_config.lambda_frequency_low,
+                    0.0,
+                )
+                w_high = jnp.where(
+                    (it < opt_config.frequency_regulization_until)
+                    & (it > opt_config.high_frequency_regularization_start),
+                    opt_config.lambda_frequency_high,
+                    0.0,
+                )
+                if opt_config.lambda_frequency_low != 0.0:
+                    loss = loss + w_low * losses.low_freq_loss(img_m, gt_m)
+                if opt_config.use_multi_resolution:
+                    fl = losses.multi_scale_loss(img_m, gt_m, freq_scales)
+                else:
+                    fl = losses.high_frequency_loss(img_m, gt_m)
+                loss = loss + w_high * fl
+
+            aux = {
+                "l1": l1,
+                "ssim": ssim_v,
+                "psnr": losses.psnr(img_m, gt_m),
+                "out": out,
+            }
+            return loss, aux
+
+        (loss, aux), (grads, mean2d_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, mean2d_zero)
+        out = aux["out"]
+
+        # --- densification statistics (training_statis,
+        # src/gaussian_model.cpp:1459-1503), gated on the stats window ---
+        in_window = (it > opt_config.start_stat) & (it < opt_config.update_until)
+        gate = in_window.astype(jnp.float32)
+
+        visible = out.visible_anchor_mask  # (cap,)
+        neural_op = out.neural.neural_opacity.reshape(cap, k)
+        temp_op = jnp.maximum(neural_op, 0.0)
+        vis_f = visible.astype(jnp.float32)
+        stats = ts.stats
+        opacity_accum = stats.opacity_accum + gate * vis_f * jnp.sum(temp_op, axis=1)
+        anchor_demon = stats.anchor_demon + gate * vis_f
+
+        # combined mask: anchor visible & neural opacity > 0 & rendered
+        combined = (
+            jnp.repeat(visible, k)
+            & out.neural.offset_mask
+            & out.visibility_filter
+        ).reshape(cap, k)
+        # viewspace grad in the reference's NDC-ish units: dL/dpix * (W/2, H/2)
+        # (backward.cu ddelx_dx = 0.5*W, ddely_dy = 0.5*H)
+        gscale = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
+        gnorm = jnp.linalg.norm(mean2d_grad * gscale[None, :], axis=-1).reshape(cap, k)
+        cf = combined.astype(jnp.float32) * gate
+        offset_grad_accum = stats.offset_grad_accum + cf * gnorm
+        offset_denom = stats.offset_denom + cf
+
+        new_stats = DensifyStats(
+            opacity_accum=opacity_accum,
+            anchor_demon=anchor_demon,
+            offset_grad_accum=offset_grad_accum,
+            offset_denom=offset_denom,
+        )
+
+        # --- Adam ---
+        lr_tree = _lr_tree(params, schedules, it)
+        active = ts.anchors.active
+
+        def row_mask(path):
+            return active if path[0].key == "anchors" else None
+
+        new_params, new_adam = optimizer.update(
+            params, grads, ts.adam, lr_tree, row_mask_fn=row_mask
+        )
+
+        new_anchors = ts.anchors.replace_params(new_params["anchors"])
+        new_ts = TrainState(
+            anchors=new_anchors,
+            decoders=new_params["decoders"],
+            adam=new_adam,
+            stats=new_stats,
+            step=it,
+        )
+        metrics = {
+            "loss": loss,
+            "l1": aux["l1"],
+            "psnr": aux["psnr"],
+            "ssim": aux["ssim"],
+            "num_instances": out.num_instances,
+            "n_active": ts.anchors.num_active(),
+        }
+        return new_ts, metrics
+
+    return step_fn
