@@ -30,7 +30,7 @@ def main():
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     opac = rng.uniform(0.1, 0.9, n).astype(np.float32)
     colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
-    cfg = RasterConfig(tile=16, max_instances=2**20, chunk=256)
+    cfg = RasterConfig(tile=16, compact=2**17, kmax=16, chunk=256)
 
     args = dict(
         world_view_transform=jnp.asarray(kf.world_view_transform),

@@ -11,7 +11,7 @@ from segs_slam_tpu.core.keyframe import Keyframe
 from segs_slam_tpu.ops.rasterizer import RasterConfig, rasterize
 
 
-def main(width=640, height=480, n=100_000, tile=16, chunk=256, cap=2**20):
+def main(width=640, height=480, n=100_000, tile=16, chunk=256, compact=2**17, kmax=16):
     print("backend:", jax.default_backend())
     rng = np.random.default_rng(0)
     cam = Camera(camera_id=0, width=width, height=height, fx=500.0, fy=500.0,
@@ -23,7 +23,7 @@ def main(width=640, height=480, n=100_000, tile=16, chunk=256, cap=2**20):
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     opac = rng.uniform(0.1, 0.9, n).astype(np.float32)
     colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
-    cfg = RasterConfig(tile=tile, max_instances=cap, chunk=chunk)
+    cfg = RasterConfig(tile=tile, compact=compact, kmax=kmax, chunk=chunk)
 
     args = dict(
         world_view_transform=jnp.asarray(kf.world_view_transform),

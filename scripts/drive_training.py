@@ -21,7 +21,7 @@ mc = ModelConfig(feat_dim=16, n_offsets=5, appearance_dim=8, embedding_dim=4,
                  capacity=4096, voxel_size=0.02)
 oc = OptimizationConfig(start_stat=10, update_from=50, update_interval=50,
                         update_until=1000, use_frequency_regularization=True)
-rc = RasterConfig(tile=16, max_instances=2**17, chunk=256)
+rc = RasterConfig(tile=16, compact=2**14, kmax=16, chunk=256)
 cam = Camera(camera_id=0, width=W, height=H, fx=110.0, fy=110.0, cx=64, cy=64)
 kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
 rng = np.random.default_rng(0)

@@ -1,135 +1,150 @@
-"""Tile binning: expand Gaussians into per-tile depth-sorted instances.
+"""Tile binning v3: compaction + K_MAX payload expansion — zero gathers.
 
-TPU-native replacement of the reference's CUB pipeline — InclusiveSum over
-tiles_touched, duplicateWithKeys, 64-bit radix sort, identifyTileRanges
-(reference: cuda_rasterizer/rasterizer_impl.cu:70-138, 276-308) — built from
-XLA primitives with STATIC shapes and no searchsorted on hot paths
-(XLA lowers searchsorted to serial gather loops; a scatter + cummax
-"fill-forward" computes the same segment-ownership map in O(n) vector ops):
+TPU-native replacement of the reference's CUB binning pipeline
+(reference: cuda_rasterizer/rasterizer_impl.cu:70-138, 276-308). Profiling on
+v5e showed that ANY computed-index gather/scatter over the ~1M instance axis
+lowers to a serial per-element loop (~8 ns/elem, ~8 ms per op), so this
+design expresses the whole pipeline as sorts, scans and broadcasts only:
 
-  * exclusive cumsum over tiles_touched,
-  * segment ownership (instance slot -> source Gaussian) via scattering each
-    Gaussian's index at its segment start and taking a cumulative max
-    (the inverse of CUDA's per-Gaussian write loop),
-  * one stable `lax.sort` keyed lexicographically on (tile, depth), which is
-    order-equivalent to the reference's packed [tile|depth-bits] radix sort,
-  * a scatter that re-lays the sorted instances into per-tile segments padded
-    to the blend chunk size, so every chunk DMA in the Pallas kernel starts
-    at a lane-aligned offset (TPU DMA slices along the minor dimension must
-    be 128-aligned).
+  1. COMPACT the (mostly padded/masked) gaussians: one stable sort by
+     !valid carrying every per-gaussian field as a payload, then keep the
+     leading `compact` slots (static capacity).
+  2. EXPAND each compact gaussian to exactly kmax instance slots by pure
+     broadcasting (invalid k's get the sentinel tile), computing each
+     instance's tile arithmetically — the dynamic expansion of CUDA's
+     duplicateWithKeys becomes a static [compact, kmax] grid (rects are
+     pre-clamped to kmax cells in preprocess).
+  3. ONE stable lexicographic sort on (tile, depth) whose payloads are the 9
+     render features + the compact id; the sorted feature columns feed the
+     Pallas blend directly (no post-sort feature gather).
+  4. tile ranges via small-side searchsorted (1 query per tile).
 
-Overflow of the static instance capacity drops the instances of the largest
-tile ids; the true total is returned so callers can monitor overflow.
+Gradient flow happens in blend.py's custom VJP: per-instance gradients are
+segment-summed by compact id and scattered back through the compaction
+(both in the fast scatter class: sorted ids / unique indices).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
-from segs_slam_tpu.ops.rasterizer.preprocess import GaussianProjection, RasterConfig
+from segs_slam_tpu.ops.rasterizer.preprocess import RasterConfig
+
+NPAY = 9  # mean2d.x/y, conic a/b/c, opacity, r, g, b
 
 
-class TileBinning(NamedTuple):
-    gauss_id: jnp.ndarray  # (cap_aligned,) int32 source gaussian per slot
-    slot_valid: jnp.ndarray  # (cap_aligned,) bool — real instance vs padding
-    slot_tile: jnp.ndarray  # (cap_aligned,) int32 tile of each slot
-    seg_start: jnp.ndarray  # (num_tiles,) int32 aligned segment starts
-    seg_count: jnp.ndarray  # (num_tiles,) int32 true instance counts
-    num_instances: jnp.ndarray  # () int32 — true total (may exceed capacity)
+class CompactGaussians(NamedTuple):
+    feats: tuple  # NPAY arrays (compact,)
+    rect_min_x: jnp.ndarray
+    rect_min_y: jnp.ndarray
+    rect_w: jnp.ndarray
+    touched: jnp.ndarray
+    depth: jnp.ndarray
+    orig_id: jnp.ndarray  # (compact,) index into the original [N] arrays
+    valid: jnp.ndarray  # (compact,) bool
+    num_valid: jnp.ndarray  # () int32 — true count (may exceed capacity)
 
 
-def aligned_capacity(config: RasterConfig, width: int, height: int) -> int:
-    tx, ty = config.grid(width, height)
-    return config.max_instances + tx * ty * config.chunk
+class BinnedInstances(NamedTuple):
+    feats_sorted: tuple  # NPAY arrays (NK,) in (tile, depth) order
+    gid_sorted: jnp.ndarray  # (NK,) compact ids
+    tile_start: jnp.ndarray  # (num_tiles,)
+    tile_stop: jnp.ndarray  # (num_tiles,)
+    num_instances: jnp.ndarray  # () int32
 
 
-def _fill_forward_owner(starts: jnp.ndarray, size: int) -> jnp.ndarray:
-    """owner[i] = largest k with starts[k] <= i (segments are [starts[k],
-    starts[k+1])). Assumes starts is non-decreasing with starts[0] == 0."""
-    n = starts.shape[0]
-    mark = jnp.zeros(size, jnp.int32)
-    mark = mark.at[starts].max(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    return lax.cummax(mark)
-
-
-def bin_gaussians(
-    proj: GaussianProjection,
-    width: int,
-    height: int,
+def compact_gaussians(
+    feats: tuple,  # NPAY arrays (N,), differentiable payloads
+    aux: dict,  # rect_min_x/y, rect_w, touched (int32), depth (f32), alive
     config: RasterConfig,
-) -> TileBinning:
-    tx, ty = config.grid(width, height)
-    num_tiles = tx * ty
-    cap = config.max_instances
-    ch = config.chunk
-
-    # Force materialization of the small per-gaussian tables. Without this
-    # XLA fuses the entire preprocess chain INTO the 1M-index gathers below,
-    # recomputing it per instance access (measured 39 ms vs 0.03 ms).
-    proj = GaussianProjection(*jax.lax.optimization_barrier(tuple(proj)))
-
-    touched = proj.tiles_touched.astype(jnp.int32)
-    cum = jnp.cumsum(touched)  # inclusive
-    total = cum[-1]
-    offsets = cum - touched  # exclusive
-
-    inst = jnp.arange(cap, dtype=jnp.int32)
-    # Instance i belongs to gaussian g with offsets[g] <= i < cum[g]. Among
-    # gaussians sharing a segment start, all but the largest have empty
-    # segments, so scatter-max + cummax picks the true owner.
-    g = _fill_forward_owner(offsets, cap)
-    in_range = inst < jnp.minimum(total, cap)
-
-    k = inst - offsets[g]
-    rect_min = proj.rect_min[g]  # (cap, 2) — gathers from small [N] tables
-    rect_w = jnp.maximum(proj.rect_max[g, 0] - rect_min[:, 0], 1)
-    dy = k // rect_w
-    dx = k - dy * rect_w
-    tile = (rect_min[:, 1] + dy) * tx + (rect_min[:, 0] + dx)
-    tile = jnp.where(in_range, tile, num_tiles).astype(jnp.int32)
-
-    depth = jnp.where(in_range, proj.depth[g], jnp.inf).astype(jnp.float32)
-
-    tile_sorted, _depth_sorted, gauss_sorted = lax.sort(
-        (tile, depth, g), num_keys=2, is_stable=True
+) -> CompactGaussians:
+    alive = aux["alive"]
+    n = alive.shape[0]
+    nc = config.compact
+    if n < nc:  # small scenes: pad up to the compaction capacity
+        pad = nc - n
+        feats = tuple(jnp.pad(f, (0, pad)) for f in feats)
+        aux = {
+            k: jnp.pad(v, (0, pad)) for k, v in aux.items()
+        }
+        alive = aux["alive"]
+        n = nc
+    key = (~alive).astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    out = lax.sort(
+        (key,)
+        + tuple(feats)
+        + (
+            aux["rect_min_x"],
+            aux["rect_min_y"],
+            aux["rect_w"],
+            aux["touched"],
+            aux["depth"],
+            idx,
+        ),
+        num_keys=1,
+        is_stable=True,
+    )
+    key_s = out[0][:nc]
+    feats_s = tuple(o[:nc] for o in out[1 : 1 + NPAY])
+    rmx, rmy, rw, touched = (o[:nc] for o in out[1 + NPAY : 5 + NPAY])
+    depth = out[5 + NPAY][:nc]
+    orig = out[6 + NPAY][:nc]
+    valid = key_s == 0
+    num_valid = jnp.sum(alive.astype(jnp.int32))
+    return CompactGaussians(
+        feats=feats_s,
+        rect_min_x=rmx,
+        rect_min_y=rmy,
+        rect_w=rw,
+        touched=jnp.where(valid, touched, 0),
+        depth=depth,
+        orig_id=orig,
+        valid=valid,
+        num_valid=num_valid,
     )
 
-    # Per-tile instance counts without searchsorted: count instances per tile.
-    counts = jnp.zeros(num_tiles + 1, jnp.int32).at[tile_sorted].add(1)[:-1]
-    tile_stop = jnp.cumsum(counts)
-    tile_start = tile_stop - counts
 
-    # Chunk-aligned segment layout.
-    padded = (counts + ch - 1) // ch * ch
-    seg_cum = jnp.cumsum(padded)  # inclusive
-    seg_start = seg_cum - padded
+def expand_and_sort(
+    cg: CompactGaussians,
+    num_tiles_x: int,
+    num_tiles_y: int,
+    config: RasterConfig,
+) -> BinnedInstances:
+    nc, km = config.compact, config.kmax
+    tx = num_tiles_x
+    num_tiles = num_tiles_x * num_tiles_y
 
-    cap_aligned = aligned_capacity(config, width, height)
-    # Scatter sorted instances directly into their aligned slots.
-    local = inst - tile_start[tile_sorted]  # rank within tile
-    dest = jnp.where(
-        tile_sorted < num_tiles, seg_start[tile_sorted] + local, cap_aligned
+    k = lax.broadcasted_iota(jnp.int32, (nc, km), 1)
+    ok = k < jnp.minimum(cg.touched, km)[:, None]
+    rw = jnp.maximum(cg.rect_w, 1)[:, None]
+    dy = k // rw
+    dx = k - dy * rw
+    tile = (cg.rect_min_y[:, None] + dy) * tx + (cg.rect_min_x[:, None] + dx)
+    tile = jnp.where(ok, tile, num_tiles).reshape(-1).astype(jnp.int32)
+    depth = jnp.broadcast_to(cg.depth[:, None], (nc, km)).reshape(-1)
+    gid = lax.broadcasted_iota(jnp.int32, (nc, km), 0).reshape(-1)
+    pays = tuple(
+        jnp.broadcast_to(f[:, None], (nc, km)).reshape(-1) for f in cg.feats
     )
-    gauss_aligned = jnp.zeros(cap_aligned, jnp.int32).at[dest].set(
-        gauss_sorted, mode="drop"
-    )
 
-    # Slot -> tile ownership over the aligned layout (same fill-forward trick;
-    # empty tiles share starts with the next non-empty one, max wins).
-    slot = jnp.arange(cap_aligned, dtype=jnp.int32)
-    t_of = _fill_forward_owner(seg_start, cap_aligned)
-    local_slot = slot - seg_start[t_of]
-    slot_valid = (slot < seg_cum[-1]) & (local_slot < counts[t_of])
+    out = lax.sort((tile, depth, gid) + pays, num_keys=2, is_stable=True)
+    tile_sorted = out[0]
+    gid_sorted = out[2]
+    feats_sorted = out[3:]
 
-    return TileBinning(
-        gauss_id=gauss_aligned,
-        slot_valid=slot_valid,
-        slot_tile=t_of,
-        seg_start=seg_start,
-        seg_count=counts,
-        num_instances=total,
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_sorted, tiles, side="left").astype(jnp.int32)
+    tile_stop = jnp.searchsorted(tile_sorted, tiles, side="right").astype(jnp.int32)
+
+    num_instances = jnp.sum(jnp.minimum(cg.touched, km))
+    return BinnedInstances(
+        feats_sorted=feats_sorted,
+        gid_sorted=gid_sorted,
+        tile_start=tile_start,
+        tile_stop=tile_stop,
+        num_instances=num_instances,
     )

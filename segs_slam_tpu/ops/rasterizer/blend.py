@@ -1,32 +1,33 @@
-"""Pallas TPU tile-blend kernel (forward + backward) with custom VJP.
+"""Pallas TPU tile-blend kernel (forward + backward) with custom VJP — v3.
 
-This replaces the reference's per-pixel CUDA blend loops
+Replaces the reference's per-pixel CUDA blend loops
 (cuda_rasterizer/forward.cu:339-452 renderCUDA, backward.cu:399-557
 renderCUDA backward) with a TPU-native design:
 
   * one grid step per screen tile; INSTANCES live on the VPU lane axis,
     pixels on the sublane axis, so the alpha test over a chunk of instances
     is a single [PIXELS, CHUNK] vector op;
-  * instance features are packed [16, capacity] f32 (features on sublanes) so
-    a chunk DMA is a [16, CHUNK] slice whose lane offset is chunk-aligned —
-    the binning stage pads every tile's instance segment to a multiple of the
-    chunk size to guarantee this (see binning.py);
   * the inherently sequential front-to-back compositing becomes a cumulative
     product along the instance axis: with masked alphas the CUDA control flow
     (skip / early-`done`) is EXACTLY the closed form
         accept_i  = (T_in * prod_{j<=i}(1-a_j) >= T_MIN)
         color     = sum_i accept_i * a_i * T_before_i * c_i      (an MXU matmul)
         T_out     = min over accepted test_T (== masked product)
+  * instance features arrive already sorted by (tile, depth) as sort payloads
+    (binning.py); the kernel DMAs [16, CHUNK] slices whose lane offsets are
+    chunk-aligned by construction: each tile's loop starts at
+    floor(start/chunk)*chunk and masks the head/tail belonging to the
+    neighboring tiles;
   * the backward pass re-traverses chunks back-to-front (like the CUDA
-    backward) maintaining per-pixel suffix state, and writes PER-INSTANCE
-    gradients; the scatter-add the CUDA code does with atomics is instead the
-    autodiff VJP of the instance gather (an XLA segment-sum) outside the
-    kernel.
+    backward) maintaining per-pixel suffix state, and ACCUMULATES
+    per-instance gradients into an aliased zero-initialized buffer (boundary
+    chunks are shared between adjacent tiles; the sequential tile grid makes
+    read-add-write race-free); the per-gaussian reduction is one segment-sum
+    outside the kernel — no atomics anywhere.
 
-Feature packing (row index in the [16, cap] array):
+Feature packing (row index in the [16, NK] array):
   0: mean2d.x  1: mean2d.y  2: conic.a  3: conic.b  4: conic.c
   5: opacity   6: r  7: g  8: b        9-15: padding
-Gradients come back in the same slots.
 """
 
 from __future__ import annotations
@@ -40,16 +41,19 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from segs_slam_tpu.ops.rasterizer.binning import (
+    NPAY,
+    compact_gaussians,
+    expand_and_sort,
+)
+
 NFEAT = 16
 F_X, F_Y, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B = range(9)
 
 
 def _prefix_prod_lane(x):
-    """Inclusive prefix product along axis 1 (lanes) via log-step rolls.
-
-    Mosaic has no cumprod lowering; Hillis-Steele scan with static chunk
-    sizes so the python loop fully unrolls.
-    """
+    """Inclusive prefix product along axis 1 (lanes) via log-step rolls
+    (Mosaic has no cumprod lowering; static sizes so the loop unrolls)."""
     n = x.shape[1]
     idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
     shift = 1
@@ -61,7 +65,6 @@ def _prefix_prod_lane(x):
 
 
 def _suffix_prod_lane(x):
-    """sp_i = prod_{k>=i} x_k along axis 1."""
     n = x.shape[1]
     idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
     shift = 1
@@ -73,7 +76,6 @@ def _suffix_prod_lane(x):
 
 
 def _suffix_sum_lane(x):
-    """s_i = sum_{k>=i} x_k along axis 1."""
     n = x.shape[1]
     idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
     shift = 1
@@ -94,11 +96,11 @@ def _pixel_coords(t, tx, tile, npix):
     return px, py
 
 
-def _chunk_alpha(chunk, px, py, num_valid, base, cfg):
+def _chunk_alpha(chunk, px, py, lo, hi, base, cfg):
     """Alpha for a [P, C] block given chunk features [NFEAT, C].
 
-    Returns (alpha, G, ok, dx, dy) all [P, C] (G/dx/dy needed by backward).
-    Masked entries have alpha == 0.
+    lo/hi bound the tile's own instances within the aligned window; masked
+    entries have alpha == 0. Returns (alpha, G, ok, dx, dy) all [P, C].
     """
     c = chunk.shape[1]
     x = chunk[F_X : F_X + 1, :]  # [1, C]
@@ -115,18 +117,18 @@ def _chunk_alpha(chunk, px, py, num_valid, base, cfg):
     alpha = jnp.minimum(cfg.alpha_clamp, op * G)
 
     idx = lax.broadcasted_iota(jnp.int32, (1, c), 1) + base
-    valid = idx < num_valid
-    ok = valid & (power <= 0.0) & (alpha >= cfg.alpha_min)
+    inside = (idx >= lo) & (idx < hi)
+    ok = inside & (power <= 0.0) & (alpha >= cfg.alpha_min)
     alpha = jnp.where(ok, alpha, 0.0)
     return alpha, G, ok, dx, dy
 
 
 def _fwd_kernel(
     # scalar prefetch
-    start_ref,  # aligned segment starts [nt]
-    count_ref,  # true instance counts [nt]
+    start_ref,
+    stop_ref,
     # inputs
-    feats_hbm,  # [NFEAT, cap_aligned] in HBM
+    feats_hbm,  # [NFEAT, NK + chunk] in HBM, (tile, depth)-sorted
     bg_ref,  # [3, 1] VMEM
     # outputs
     color_ref,  # [1, 3, P]
@@ -142,25 +144,26 @@ def _fwd_kernel(
 ):
     t = pl.program_id(0)
     start = start_ref[t]
-    num = count_ref[t]
+    stop = stop_ref[t]
     ch = cfg.chunk
+    astart = (start // ch) * ch
+    lo = start - astart
+    hi = stop - astart
 
     px, py = _pixel_coords(t, tx, cfg.tile, npix)
 
     def body(ci, carry):
         T, C, nc = carry
         base = ci * ch
-        off = pl.multiple_of(start + base, ch)
+        off = pl.multiple_of(astart + base, ch)
         copy = pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(off, ch)],
-            chunk_vmem,
-            dma_sem,
+            feats_hbm.at[:, pl.ds(off, ch)], chunk_vmem, dma_sem
         )
         copy.start()
         copy.wait()
         chunk = chunk_vmem[:, :]
 
-        alpha, _G, _ok, _dx, _dy = _chunk_alpha(chunk, px, py, num, base, cfg)
+        alpha, _G, _ok, _dx, _dy = _chunk_alpha(chunk, px, py, lo, hi, base, cfg)
         om = 1.0 - alpha
         cum = _prefix_prod_lane(om)  # [P, C] inclusive
         test_t = T * cum
@@ -170,20 +173,17 @@ def _fwd_kernel(
 
         colors = chunk[F_R : F_B + 1, :]  # [3, C]
         contrib = lax.dot_general(
-            colors,
-            w,
-            (((1,), (1,)), ((), ())),
+            colors, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [3, P]
         C = C + contrib
 
-        # T_out = T_in * prod_{accepted} om. test_t is non-increasing and
-        # accept is a prefix, so this is the smallest accepted test_t (or T_in
-        # when nothing was accepted). Mosaic has no reduce_prod; min works.
+        # T_out = smallest accepted test_t (accept is a prefix per pixel).
         T = jnp.min(jnp.where(accept, test_t, T), axis=1, keepdims=True)
 
         accepted = accept & (alpha > 0.0)
-        idx1 = lax.broadcasted_iota(jnp.int32, accepted.shape, 1) + base + 1
+        # local contributor index within [start, stop)
+        idx1 = lax.broadcasted_iota(jnp.int32, accepted.shape, 1) + base - lo + 1
         nc = jnp.maximum(
             nc, jnp.max(jnp.where(accepted, idx1, 0), axis=1, keepdims=True)
         )
@@ -191,7 +191,7 @@ def _fwd_kernel(
 
     def cond(state):
         ci, (T, _, _) = state
-        return (ci * ch < num) & (jnp.max(T) >= cfg.transmittance_min)
+        return (ci * ch < hi) & (jnp.max(T) >= cfg.transmittance_min)
 
     def step(state):
         ci, carry = state
@@ -211,19 +211,21 @@ def _fwd_kernel(
 def _bwd_kernel(
     # scalar prefetch
     start_ref,
-    count_ref,
+    stop_ref,
     # inputs
+    dzero_hbm,  # [NFEAT, NK + chunk] zeros, aliased to the output
     feats_hbm,
     bg_ref,
     dldc_ref,  # [1, 3, P]
     final_t_ref,  # [1, 1, P]
     ncontrib_ref,  # [1, 1, P]
     # outputs
-    dfeats_hbm,  # [NFEAT, cap_aligned]
+    dfeats_hbm,  # [NFEAT, NK + chunk] (accumulated across tiles)
     # scratch
     chunk_vmem,
     grad_vmem,
     in_sem,
+    acc_sem,
     out_sem,
     *,
     cfg,
@@ -232,8 +234,11 @@ def _bwd_kernel(
 ):
     t = pl.program_id(0)
     start = start_ref[t]
-    num = count_ref[t]
+    stop = stop_ref[t]
     ch = cfg.chunk
+    astart = (start // ch) * ch
+    lo = start - astart
+    hi = stop - astart
 
     px, py = _pixel_coords(t, tx, cfg.tile, npix)
 
@@ -246,13 +251,14 @@ def _bwd_kernel(
 
     # Chunks that ever contributed (skip the dead tail entirely).
     last = jnp.max(ncontrib)
-    nchunks = (last + ch - 1) // ch
+    bound = jnp.minimum(lo + last, hi)
+    nchunks = (bound + ch - 1) // ch
 
     def body(step_i, carry):
         T_end, S = carry  # both [P, 1]
         ci = nchunks - 1 - step_i
         base = ci * ch
-        off = pl.multiple_of(start + base, ch)
+        off = pl.multiple_of(astart + base, ch)
         copy = pltpu.make_async_copy(
             feats_hbm.at[:, pl.ds(off, ch)], chunk_vmem, in_sem
         )
@@ -260,9 +266,9 @@ def _bwd_kernel(
         copy.wait()
         chunk = chunk_vmem[:, :]
 
-        alpha, G, ok, dx, dy = _chunk_alpha(chunk, px, py, num, base, cfg)
-        idx = lax.broadcasted_iota(jnp.int32, alpha.shape, 1) + base
-        m = ok & (idx < ncontrib)  # accepted in forward (see module docstring)
+        alpha, G, ok, dx, dy = _chunk_alpha(chunk, px, py, lo, hi, base, cfg)
+        idx = lax.broadcasted_iota(jnp.int32, alpha.shape, 1) + base - lo
+        m = ok & (idx < ncontrib)  # accepted in forward
         alpha = jnp.where(m, alpha, 0.0)
         om = 1.0 - alpha
 
@@ -303,12 +309,19 @@ def _bwd_kernel(
         grad = jnp.concatenate(
             [dmx, dmy, da, db, dc, dop, dcol, zeros], axis=0
         )  # [NFEAT, C]
-        grad_vmem[:, :] = grad
-        out_copy = pltpu.make_async_copy(
+
+        # Accumulate: boundary chunks are shared with neighboring tiles.
+        acc = pltpu.make_async_copy(
+            dfeats_hbm.at[:, pl.ds(off, ch)], grad_vmem, acc_sem
+        )
+        acc.start()
+        acc.wait()
+        grad_vmem[:, :] = grad_vmem[:, :] + grad
+        out = pltpu.make_async_copy(
             grad_vmem, dfeats_hbm.at[:, pl.ds(off, ch)], out_sem
         )
-        out_copy.start()
-        out_copy.wait()
+        out.start()
+        out.wait()
 
         T_end = jnp.minimum(T_end / sp[:, 0:1], 1.0)  # T at chunk start
         S = S + jnp.sum(wg, axis=1, keepdims=True)
@@ -318,13 +331,8 @@ def _bwd_kernel(
     lax.fori_loop(0, nchunks, body, (final_t, S0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def tile_blend(feats, bg, seg_start, seg_count, slot_tile, static):
-    out, _ = _tile_blend_fwd(feats, bg, seg_start, seg_count, slot_tile, static)
-    return out
-
-
-def _pallas_call(kernel, static, out_shapes, out_specs, in_specs, scratch):
+def _pallas_call(kernel, static, out_shapes, out_specs, in_specs, scratch,
+                 io_aliases=None):
     cfg, tx, ty, npix, interpret = static
     nt = tx * ty
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -334,17 +342,48 @@ def _pallas_call(kernel, static, out_shapes, out_specs, in_specs, scratch):
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
+    kwargs = {}
+    if io_aliases:
+        kwargs["input_output_aliases"] = io_aliases
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
+        **kwargs,
     )
 
 
-def _tile_blend_fwd(feats, bg, seg_start, seg_count, slot_tile, static):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def binned_blend(feats, aux, bg, static):
+    """feats: tuple of NPAY differentiable per-gaussian [N] arrays
+    (mean2d.x/y, conic a/b/c, opacity, r, g, b).
+    aux: dict(rect_min_x, rect_min_y, rect_w, touched [int32 (N,)],
+              depth [f32 (N,)], alive [bool (N,)]) — non-differentiable.
+    bg: (3,) background color.
+    Returns (color [nt,3,P], final_T [nt,1,P], n_contrib [nt,1,P],
+    num_instances, num_compact)."""
+    out, _ = _binned_blend_fwd(feats, aux, bg, static)
+    return out
+
+
+def _stack_feats(feats_sorted, nk, chunk):
+    cols = list(feats_sorted) + [jnp.zeros((nk,), jnp.float32)] * (NFEAT - NPAY)
+    stacked = jnp.stack(cols, axis=0)  # [NFEAT, NK]
+    return jnp.concatenate(
+        [stacked, jnp.zeros((NFEAT, chunk), jnp.float32)], axis=1
+    )
+
+
+def _binned_blend_fwd(feats, aux, bg, static):
     cfg, tx, ty, npix, interpret = static
     nt = tx * ty
+
+    cg = compact_gaussians(feats, aux, cfg)
+    binned = expand_and_sort(cg, tx, ty, cfg)
+    nk = cfg.compact * cfg.kmax
+    feats_hbm = _stack_feats(binned.feats_sorted, nk, cfg.chunk)
+
     kern = functools.partial(_fwd_kernel, cfg=cfg, tx=tx, npix=npix)
     out_shapes = (
         jax.ShapeDtypeStruct((nt, 3, npix), jnp.float32),
@@ -365,30 +404,53 @@ def _tile_blend_fwd(feats, bg, seg_start, seg_count, slot_tile, static):
         pltpu.SemaphoreType.DMA(()),
     ]
     call = _pallas_call(kern, static, out_shapes, out_specs, in_specs, scratch)
-    color, final_t, ncontrib = call(seg_start, seg_count, feats, bg)
-    return (color, final_t, ncontrib), (
-        feats,
-        bg,
-        seg_start,
-        seg_count,
-        slot_tile,
+    bg_col = bg.reshape(3, 1)
+    color, final_t, ncontrib = call(
+        binned.tile_start, binned.tile_stop, feats_hbm, bg_col
+    )
+    out = (color, final_t, ncontrib, binned.num_instances, cg.num_valid)
+    aux_struct = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), aux
+    )
+    residuals = (
+        feats_hbm,
+        binned.tile_start,
+        binned.tile_stop,
+        binned.gid_sorted,
+        cg.orig_id,
+        cg.valid,
+        bg_col,
         final_t,
         ncontrib,
+        aux_struct,
     )
+    return out, residuals
 
 
-def _tile_blend_bwd(static, residuals, cotangents):
+def _binned_blend_bwd(static, residuals, cotangents):
     cfg, tx, ty, npix, interpret = static
-    nt = tx * ty
-    feats, bg, seg_start, seg_count, slot_tile, final_t, ncontrib = residuals
-    dcolor, _dfinal_t, _dncontrib = cotangents
+    (
+        feats_hbm,
+        tile_start,
+        tile_stop,
+        gid_sorted,
+        orig_id,
+        cg_valid,
+        bg_col,
+        final_t,
+        ncontrib,
+        aux_struct,
+    ) = residuals
+    dcolor = cotangents[0]
+    n_orig = aux_struct["alive"].shape[0]
 
     kern = functools.partial(_bwd_kernel, cfg=cfg, tx=tx, npix=npix)
-    out_shapes = jax.ShapeDtypeStruct(feats.shape, jnp.float32)
+    out_shapes = jax.ShapeDtypeStruct(feats_hbm.shape, jnp.float32)
     out_specs = pl.BlockSpec(memory_space=pltpu.HBM)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.HBM),  # feats stay in HBM
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # bg (3, 1)
+        pl.BlockSpec(memory_space=pltpu.HBM),  # dzero (aliased to output)
+        pl.BlockSpec(memory_space=pltpu.HBM),  # feats
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
         pl.BlockSpec((1, 3, npix), lambda i, *_: (i, 0, 0)),  # dL/dcolor
         pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),  # final_T
         pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),  # n_contrib
@@ -398,26 +460,42 @@ def _tile_blend_bwd(static, residuals, cotangents):
         pltpu.VMEM((NFEAT, cfg.chunk), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
     ]
-    call = _pallas_call(kern, static, out_shapes, out_specs, in_specs, scratch)
-    dfeats = call(seg_start, seg_count, feats, bg, dcolor, final_t, ncontrib)
+    # input index 2 = dzero among (start, stop, dzero, feats, ...)
+    call = _pallas_call(
+        kern, static, out_shapes, out_specs, in_specs, scratch,
+        io_aliases={2: 0},
+    )
+    dzero = jnp.zeros(feats_hbm.shape, jnp.float32)
+    dfeats = call(
+        tile_start, tile_stop, dzero, feats_hbm, bg_col, dcolor, final_t,
+        ncontrib,
+    )
 
-    # Zero gradient slots the kernel never wrote: chunks beyond each tile's
-    # contributing range, padding slots handled by the in-kernel mask.
-    cap = feats.shape[1]
-    inst = jnp.arange(cap, dtype=jnp.int32)
-    max_nc = jnp.max(ncontrib, axis=(1, 2))  # [nt]
-    bound = (max_nc + cfg.chunk - 1) // cfg.chunk * cfg.chunk
-    local = inst - seg_start[slot_tile]
-    covered = (local >= 0) & (local < bound[slot_tile])
-    dfeats = jnp.where(covered[None, :], dfeats, 0.0)
+    nk = cfg.compact * cfg.kmax
+    dcols = dfeats[:NPAY, :nk].T  # [NK, NPAY]
+    dcompact = jax.ops.segment_sum(
+        dcols, gid_sorted, num_segments=cfg.compact
+    )  # [compact, NPAY]
+    dcompact = jnp.where(cg_valid[:, None], dcompact, 0.0)
+    # route back through the compaction (unique destinations)
+    dorig = (
+        jnp.zeros((n_orig, NPAY), jnp.float32)
+        .at[jnp.where(cg_valid, orig_id, n_orig)]
+        .add(dcompact, mode="drop")
+    )
+    dfeats_tuple = tuple(dorig[:, i] for i in range(NPAY))
 
-    # d/d(bg): out = C + T_fin * bg  =>  dL/dbg[c] = sum_pix T_fin * dLdC.
-    dbg = jnp.sum(final_t * dcolor, axis=(0, 2)).reshape(3, 1)
+    dbg = jnp.sum(final_t * dcolor, axis=(0, 2))
 
-    zero_i32 = np.zeros(seg_start.shape, jax.dtypes.float0)
-    zero_slot = np.zeros(slot_tile.shape, jax.dtypes.float0)
-    return dfeats, dbg, zero_i32, zero_i32, zero_slot
+    def zero_ct(s):
+        if jnp.issubdtype(s.dtype, jnp.floating):
+            return jnp.zeros(s.shape, s.dtype)
+        return np.zeros(s.shape, jax.dtypes.float0)
+
+    daux = jax.tree.map(zero_ct, aux_struct)
+    return dfeats_tuple, daux, dbg
 
 
-tile_blend.defvjp(_tile_blend_fwd, _tile_blend_bwd)
+binned_blend.defvjp(_binned_blend_fwd, _binned_blend_bwd)

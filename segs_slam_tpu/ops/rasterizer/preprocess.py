@@ -33,7 +33,8 @@ class RasterConfig:
     """
 
     tile: int = 16
-    max_instances: int = 2 ** 21
+    compact: int = 2**17  # capacity of the visible-gaussian compaction
+    kmax: int = 16  # max tiles per gaussian (rect clamped around center)
     chunk: int = 256  # instances processed per Pallas blend step
     near: float = 0.2  # near-cull plane (auxiliary.h:156)
     alpha_min: float = 1.0 / 255.0  # forward.cu:422
@@ -44,6 +45,10 @@ class RasterConfig:
         tx = (width + self.tile - 1) // self.tile
         ty = (height + self.tile - 1) // self.tile
         return tx, ty
+
+    @property
+    def max_instances(self) -> int:
+        return self.compact * self.kmax
 
 
 class GaussianProjection(NamedTuple):
@@ -239,6 +244,29 @@ def preprocess_gaussians(
     rect_min_y = jnp.clip(jnp.floor((py - r) / tile), 0, ty).astype(jnp.int32)
     rect_max_x = jnp.clip(jnp.floor((px + r + tile - 1) / tile), 0, tx).astype(jnp.int32)
     rect_max_y = jnp.clip(jnp.floor((py + r + tile - 1) / tile), 0, ty).astype(jnp.int32)
+
+    # Static-shape divergence from the reference: each gaussian's rect is
+    # clamped to at most `kmax` tiles, shrunk around the projected center
+    # (the reference's binning buffers are dynamically sized,
+    # rasterizer_impl.cu:280-285). Exact whenever w*h <= kmax.
+    w = rect_max_x - rect_min_x
+    h = rect_max_y - rect_min_y
+    over = (w * h) > config.kmax
+    ratio = jnp.sqrt(config.kmax / jnp.maximum((w * h).astype(jnp.float32), 1.0))
+    w2 = jnp.maximum((w.astype(jnp.float32) * ratio).astype(jnp.int32), 1)
+    w2 = jnp.minimum(w2, config.kmax)
+    h2 = jnp.minimum(jnp.maximum(config.kmax // jnp.maximum(w2, 1), 1), h)
+    w2 = jnp.where(over, w2, w)
+    h2 = jnp.where(over, h2, h)
+    # center tile of the projected mean, clamped inside the original rect
+    cx_t = jnp.clip((px / tile).astype(jnp.int32), rect_min_x, rect_max_x - 1)
+    cy_t = jnp.clip((py / tile).astype(jnp.int32), rect_min_y, rect_max_y - 1)
+    nmin_x = jnp.clip(cx_t - w2 // 2, rect_min_x, rect_max_x - w2)
+    nmin_y = jnp.clip(cy_t - h2 // 2, rect_min_y, rect_max_y - h2)
+    rect_min_x = jnp.where(over, nmin_x, rect_min_x)
+    rect_min_y = jnp.where(over, nmin_y, rect_min_y)
+    rect_max_x = jnp.where(over, nmin_x + w2, rect_max_x)
+    rect_max_y = jnp.where(over, nmin_y + h2, rect_max_y)
 
     tiles_touched = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
     valid &= tiles_touched > 0

@@ -4,12 +4,12 @@ Pipeline (replacing CudaRasterizer::Rasterizer::forward/backward,
 reference: cuda_rasterizer/rasterizer_impl.cu:198-416):
 
     preprocess (JAX, autodiff)                       forward.cu:154-256
-      -> binning (XLA sort/searchsorted, no grad)    rasterizer_impl.cu:276-308
-      -> per-instance feature gather (JAX; its VJP
-         IS the atomic-free gradient scatter)        backward.cu atomics
-      -> Pallas tile blend (custom VJP)              forward.cu:339-452
+      -> compaction + kmax expansion + payload sort  rasterizer_impl.cu:276-308
+      -> Pallas tile blend (custom VJP over the
+         whole binned pipeline; gradients return
+         via segment-sum + compaction scatter)       backward.cu atomics
 
-Everything except the blend kernel is ordinary JAX, so gradients to
+Everything upstream of binned_blend is ordinary JAX, so gradients to
 means3d/scales/rotations/opacities/colors flow through JAX autodiff and the
 one custom VJP.
 """
@@ -19,9 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from segs_slam_tpu.ops.rasterizer import blend as blend_mod
-from segs_slam_tpu.ops.rasterizer.binning import bin_gaussians
-from segs_slam_tpu.ops.rasterizer.blend import NFEAT, tile_blend
+from segs_slam_tpu.ops.rasterizer.blend import binned_blend
 from segs_slam_tpu.ops.rasterizer.preprocess import (
     RasterConfig,
     compute_cov3d,
@@ -53,7 +51,7 @@ def rasterize(
     interpret: bool | None = None,
 ):
     """Returns dict with image (3, H, W), radii (N,), final_T, n_contrib,
-    num_instances."""
+    num_instances, num_compact."""
     if interpret is None:
         interpret = _auto_interpret()
     if not interpret and config.chunk % 128 != 0:
@@ -81,32 +79,31 @@ def rasterize(
     if mean2d_offset is not None:
         mean2d = mean2d + mean2d_offset
 
-    binning = bin_gaussians(proj, width, height, config)
-
-    n = means3d.shape[0]
-    pad_cols = NFEAT - 9
-    feats = jnp.concatenate(
-        [
-            mean2d,
-            proj.conic,
-            opacities[:, None],
-            colors,
-            jnp.zeros((n, pad_cols), jnp.float32),
-        ],
-        axis=-1,
-    ).T  # (16, N): features on sublanes, gaussians on lanes
-
-    # (16, cap_aligned); the VJP of this gather is the per-gaussian
-    # gradient segment-sum (replaces the CUDA backward's atomics).
-    inst_feats = feats[:, binning.gauss_id]
+    feats = (
+        mean2d[:, 0],
+        mean2d[:, 1],
+        proj.conic[:, 0],
+        proj.conic[:, 1],
+        proj.conic[:, 2],
+        opacities,
+        colors[:, 0],
+        colors[:, 1],
+        colors[:, 2],
+    )
+    aux = {
+        "rect_min_x": proj.rect_min[:, 0],
+        "rect_min_y": proj.rect_min[:, 1],
+        "rect_w": proj.rect_max[:, 0] - proj.rect_min[:, 0],
+        "touched": proj.tiles_touched.astype(jnp.int32),
+        "depth": jax.lax.stop_gradient(proj.depth),
+        "alive": proj.radius > 0,
+    }
 
     tx, ty = config.grid(width, height)
     npix = config.tile * config.tile
     static = (config, tx, ty, npix, interpret)
-    bg_col = bg.reshape(3, 1).astype(jnp.float32)
-    color, final_t, ncontrib = tile_blend(
-        inst_feats, bg_col, binning.seg_start, binning.seg_count,
-        binning.slot_tile, static
+    color, final_t, ncontrib, num_instances, num_compact = binned_blend(
+        feats, aux, bg.astype(jnp.float32), static
     )
 
     # (nt, 3, P) -> (3, H, W)
@@ -132,7 +129,8 @@ def rasterize(
         "radii": proj.radius,
         "final_T": final_t_img,
         "n_contrib": ncontrib_img,
-        "num_instances": binning.num_instances,
+        "num_instances": num_instances,
+        "num_compact": num_compact,
         "depth": proj.depth,
     }
 

@@ -49,7 +49,7 @@ def _run_ours(kf, means, scales, quats, opac, colors, bg, config):
 
 @pytest.fixture(scope="module")
 def small_config():
-    return RasterConfig(tile=16, max_instances=4096, chunk=64)
+    return RasterConfig(tile=16, compact=256, kmax=64, chunk=64)
 
 
 def test_forward_matches_reference(small_config):
@@ -158,7 +158,7 @@ def test_visible_filter(small_config):
 
 
 def test_instance_overflow_reported():
-    config = RasterConfig(tile=16, max_instances=64, chunk=32)
+    config = RasterConfig(tile=16, compact=16, kmax=16, chunk=32)
     kf, means, scales, quats, opac, colors, bg = _scene(n=60)
     out = _run_ours(kf, means, scales, quats, opac, colors, bg, config)
     assert int(out["num_instances"]) > 0

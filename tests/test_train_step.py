@@ -25,7 +25,7 @@ def setup():
         start_stat=2, update_from=4, update_interval=5, update_until=100,
         use_frequency_regularization=False,
     )
-    rc = RasterConfig(tile=16, max_instances=4096, chunk=64)
+    rc = RasterConfig(tile=16, compact=512, kmax=32, chunk=64)
     cam = Camera(camera_id=0, width=W, height=H, fx=30.0, fy=30.0, cx=16, cy=16)
     kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
 
