@@ -13,6 +13,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from segs_slam_tpu.core import Camera
@@ -30,7 +33,7 @@ def main():
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     opac = rng.uniform(0.1, 0.9, n).astype(np.float32)
     colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
-    cfg = RasterConfig(tile=16, compact=2**17, kmax=16, chunk=256)
+    cfg = RasterConfig(tile=16, compact=2**16, kmax=8, chunk=256)
 
     args = dict(
         world_view_transform=jnp.asarray(kf.world_view_transform),

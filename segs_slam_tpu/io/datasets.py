@@ -1,0 +1,133 @@
+"""Dataset loaders: Replica (NICE-SLAM layout), TUM RGB-D, EuRoC stereo.
+
+Frame-level readers matching the reference's example loaders
+(reference: examples/replica_rgbd.cpp LoadImages, examples/tum_rgbd.cpp:91-117
+association parsing, examples/euroc_stereo.cpp). Images load via PIL
+(OpenCV is not available in this environment).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+
+def _imread(path: str | Path, grayscale: bool = False) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path)
+    if grayscale:
+        img = img.convert("L")
+        return np.asarray(img, np.float32) / 255.0
+    img = img.convert("RGB")
+    return np.asarray(img, np.float32) / 255.0
+
+
+def _read_depth_png(path: str | Path, scale: float) -> np.ndarray:
+    from PIL import Image
+
+    d = np.asarray(Image.open(path))
+    return d.astype(np.float32) / scale
+
+
+@dataclasses.dataclass
+class Frame:
+    timestamp: float
+    quat: np.ndarray  # (4,) w,x,y,z world-to-camera
+    trans: np.ndarray  # (3,)
+    rgb_path: str
+    depth_path: str | None = None
+
+    def load_rgb(self) -> np.ndarray:
+        return _imread(self.rgb_path)
+
+    def load_depth(self, scale: float) -> np.ndarray | None:
+        if self.depth_path is None:
+            return None
+        return _read_depth_png(self.depth_path, scale)
+
+
+def _invert_pose(R: np.ndarray, t: np.ndarray):
+    """camera-to-world -> world-to-camera (quat wxyz, trans)."""
+    Rw = R.T
+    tw = -Rw @ t
+    from segs_slam_tpu.core import se3
+    import jax.numpy as jnp
+
+    q = np.asarray(se3.rotmat_to_quat(jnp.asarray(Rw)))
+    return q, tw
+
+
+def load_replica(seq_dir: str | Path, depth_scale: float = 6553.5) -> list[Frame]:
+    """Replica in NICE-SLAM layout: results/frameXXXXXX.jpg,
+    results/depthXXXXXX.png, traj.txt with 4x4 camera-to-world per line
+    (reference: examples/replica_rgbd.cpp)."""
+    seq_dir = Path(seq_dir)
+    traj = np.loadtxt(seq_dir / "traj.txt").reshape(-1, 4, 4)
+    frames = []
+    for i, T in enumerate(traj):
+        rgb = seq_dir / "results" / f"frame{i:06d}.jpg"
+        depth = seq_dir / "results" / f"depth{i:06d}.png"
+        if not rgb.exists():
+            break
+        q, t = _invert_pose(T[:3, :3], T[:3, 3])
+        frames.append(
+            Frame(
+                timestamp=float(i),
+                quat=q,
+                trans=t,
+                rgb_path=str(rgb),
+                depth_path=str(depth) if depth.exists() else None,
+            )
+        )
+    return frames
+
+
+def load_tum_rgbd(seq_dir: str | Path, depth_scale: float = 5000.0) -> list[Frame]:
+    """TUM RGB-D with associations: associates rgb.txt/depth.txt/
+    groundtruth.txt by nearest timestamp (reference: examples/tum_rgbd.cpp +
+    the standard associate.py logic)."""
+    seq_dir = Path(seq_dir)
+
+    def read_list(name):
+        entries = []
+        with open(seq_dir / name) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split()
+                entries.append((float(parts[0]), parts[1:]))
+        return entries
+
+    rgb = read_list("rgb.txt")
+    depth = read_list("depth.txt")
+    gt = read_list("groundtruth.txt")
+    gt_times = np.array([t for t, _ in gt])
+    d_times = np.array([t for t, _ in depth])
+
+    frames = []
+    for t_rgb, (rgb_rel,) in rgb:
+        di = int(np.argmin(np.abs(d_times - t_rgb)))
+        gi = int(np.argmin(np.abs(gt_times - t_rgb)))
+        if abs(d_times[di] - t_rgb) > 0.02 or abs(gt_times[gi] - t_rgb) > 0.02:
+            continue
+        tx, ty, tz, qx, qy, qz, qw = map(float, gt[gi][1][:7])
+        # gt is camera-to-world; convert
+        from segs_slam_tpu.core import se3
+        import jax.numpy as jnp
+
+        Rcw = np.asarray(se3.quat_to_rotmat(jnp.asarray([qw, qx, qy, qz])))
+        q, t = _invert_pose(Rcw, np.array([tx, ty, tz]))
+        frames.append(
+            Frame(
+                timestamp=t_rgb,
+                quat=q,
+                trans=t,
+                rgb_path=str(seq_dir / rgb_rel),
+                depth_path=str(seq_dir / depth[di][1][0]),
+            )
+        )
+    return frames

@@ -1,0 +1,167 @@
+"""MappingOperation producers: the tracking side of the SLAM boundary.
+
+Two producers ship in round 1:
+
+  * DatasetOracleProducer — a SLAM stand-in that replays a dataset with its
+    ground-truth poses, emitting keyframes + sparse "map points" subsampled
+    from depth, exactly in the MappingOperation protocol (the fake-SLAM
+    producer of SURVEY §4's test strategy; it also serves as the pose-oracle
+    upper bound for mapping quality).
+  * ReplayProducer — replays a recorded operation stream from disk, so the
+    mapper is testable bit-for-bit without any tracker.
+
+A native ORB-SLAM3-style visual tracker plugs in later by producing the same
+dataclasses (reference bridge: Atlas::pushMappingOperation,
+ORB-SLAM3/src/LocalMapping.cc:149-160).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from segs_slam_tpu.core.camera import Camera
+from segs_slam_tpu.slam.protocol import (
+    KeyframeData,
+    MappingOperation,
+    MappingQueue,
+    OperationKind,
+    replay_stream,
+)
+from segs_slam_tpu.slam import frontends
+
+
+class DatasetOracleProducer:
+    def __init__(
+        self,
+        frames,  # list[io.datasets.Frame]
+        camera: Camera,
+        queue: MappingQueue,
+        keyframe_every: int = 10,
+        points_per_kf: int = 300,
+        depth_scale: float = 6553.5,
+        max_depth: float = 10.0,
+        seed: int = 0,
+    ):
+        self.frames = frames
+        self.camera = camera
+        self.queue = queue
+        self.keyframe_every = keyframe_every
+        self.points_per_kf = points_per_kf
+        self.depth_scale = depth_scale
+        self.max_depth = max_depth
+        self.rng = np.random.default_rng(seed)
+        self.done = threading.Event()
+        self._next_point_id = 0
+
+    def _sparse_points(self, depth: np.ndarray, quat, trans) -> np.ndarray:
+        pts = frontends.backproject_depth(
+            depth, self.camera, quat, trans, 0.05, self.max_depth, stride=8
+        )
+        if len(pts) > self.points_per_kf:
+            sel = self.rng.choice(len(pts), self.points_per_kf, replace=False)
+            pts = pts[sel]
+        return pts
+
+    def run(self, start: int = 0, stop: int | None = None) -> None:
+        stop = stop if stop is not None else len(self.frames)
+        live_ids: set[int] = set()
+        for i in range(start, stop, self.keyframe_every):
+            fr = self.frames[i]
+            rgb = fr.load_rgb()
+            depth = fr.load_depth(self.depth_scale)
+            kfd = KeyframeData(
+                kf_id=i,
+                camera_id=self.camera.camera_id,
+                quat=np.asarray(fr.quat),
+                trans=np.asarray(fr.trans),
+                image=rgb,
+                depth=depth,
+                timestamp=fr.timestamp,
+            )
+            op = MappingOperation(kind=OperationKind.LOCAL_MAPPING_BA,
+                                  keyframes=[kfd])
+            if depth is not None:
+                pts = self._sparse_points(depth, fr.quat, fr.trans)
+                op.points_xyz = pts
+                op.point_ids = np.arange(
+                    self._next_point_id, self._next_point_id + len(pts)
+                )
+                self._next_point_id += len(pts)
+            live_ids.add(i)
+            op.live_keyframe_ids = set(live_ids)
+            self.queue.push(op)
+        self.done.set()
+
+    def run_async(self, **kw) -> threading.Thread:
+        t = threading.Thread(target=self.run, kwargs=kw, daemon=True)
+        t.start()
+        return t
+
+
+class ReplayProducer:
+    def __init__(self, path, queue: MappingQueue):
+        self.path = path
+        self.queue = queue
+        self.done = threading.Event()
+
+    def run(self) -> None:
+        for op in replay_stream(self.path):
+            self.queue.push(op)
+        self.done.set()
+
+    def run_async(self) -> threading.Thread:
+        t = threading.Thread(target=self.run, daemon=True)
+        t.start()
+        return t
+
+
+class SyntheticOracleProducer(DatasetOracleProducer):
+    """Oracle producer over in-memory keyframes (no disk); used by the
+    end-to-end mapper tests and the synthetic SLAM benchmark."""
+
+    def __init__(self, keyframes, camera, queue, points_per_kf=300, seed=0,
+                 sparse_points_fn=None):
+        self.keyframes = keyframes
+        self.camera = camera
+        self.queue = queue
+        self.points_per_kf = points_per_kf
+        self.rng = np.random.default_rng(seed)
+        self.done = threading.Event()
+        self._next_point_id = 0
+        self.sparse_points_fn = sparse_points_fn
+
+    def run(self) -> None:
+        live = set()
+        for kf in self.keyframes:
+            img = kf.image
+            if img is not None and img.shape[0] == 3:
+                img = np.transpose(img, (1, 2, 0))
+            kfd = KeyframeData(
+                kf_id=kf.kf_id,
+                camera_id=self.camera.camera_id,
+                quat=np.asarray(kf.quat),
+                trans=np.asarray(kf.trans),
+                image=img,
+                depth=kf.depth,
+                timestamp=kf.timestamp,
+            )
+            op = MappingOperation(kind=OperationKind.LOCAL_MAPPING_BA,
+                                  keyframes=[kfd])
+            if self.sparse_points_fn is not None:
+                pts = np.asarray(self.sparse_points_fn(kf))
+                op.points_xyz = pts
+                op.point_ids = np.arange(
+                    self._next_point_id, self._next_point_id + len(pts)
+                )
+                self._next_point_id += len(pts)
+            live.add(kf.kf_id)
+            op.live_keyframe_ids = set(live)
+            self.queue.push(op)
+        self.done.set()
+
+    def run_async(self) -> threading.Thread:
+        t = threading.Thread(target=self.run, daemon=True)
+        t.start()
+        return t

@@ -108,6 +108,30 @@ class Trainer:
         self.state = self.state._replace(anchors=anchors)
         return n
 
+    def apply_similarity(self, transform: np.ndarray | None, scale: float) -> None:
+        """Similarity correction of the map (scale refinement / loop close,
+        reference: scaleAndTransformThenMarkVisiblePoints,
+        src/operate_points.cu:96-143 + combineMappingOperations :1165-1196).
+        Applies p' = R (s p) + t to anchors and cached points; log-scales the
+        anchor scalings and offsets accordingly."""
+        T = np.eye(4) if transform is None else np.asarray(transform)
+        for pid, p in list(self.scene.cached_points.items()):
+            self.scene.cached_points[pid] = (T[:3, :3] @ (scale * p) + T[:3, 3]).astype(
+                np.float32
+            )
+        if self.state is None:
+            return
+        import jax.numpy as jnp
+
+        a = self.state.anchors
+        R = jnp.asarray(T[:3, :3], jnp.float32)
+        t = jnp.asarray(T[:3, 3], jnp.float32)
+        anchors = a._replace(
+            anchor=(a.anchor * scale) @ R.T + t,
+            scaling=a.scaling + np.log(scale),
+        )
+        self.state = self.state._replace(anchors=anchors)
+
     # --- training ---
     def _kf_inputs(self, kf: Keyframe):
         cam = self._cam_cache.get(kf.kf_id)
