@@ -38,6 +38,9 @@ class Keyframe:
     # Mapper bookkeeping (reference: include/gaussian_keyframe.h:100-116)
     remaining_times_of_use: int = 0
     is_loop_keyframe: bool = False
+    # Gaussian-pyramid per-sub-level use budgets (reference:
+    # getCurrentGausPyramidLevel, src/gaussian_keyframe.cpp:281-290)
+    gaus_pyramid_times_of_use: list = None
 
     # Derived (filled by compute_transform_tensors)
     world_view_transform: np.ndarray | None = None
@@ -77,6 +80,18 @@ class Keyframe:
         self.camera_center = np.linalg.inv(self.world_view_transform)[3, :3].astype(
             np.float32
         )
+
+    def next_pyramid_level(self, num_sub_levels: int) -> int:
+        """Consume one sub-level budget if any remains; otherwise full
+        resolution (index == num_sub_levels). reference:
+        src/gaussian_keyframe.cpp:281-290."""
+        if not self.gaus_pyramid_times_of_use:
+            return num_sub_levels
+        for i, n in enumerate(self.gaus_pyramid_times_of_use):
+            if n > 0:
+                self.gaus_pyramid_times_of_use[i] -= 1
+                return i
+        return num_sub_levels
 
     def pose7(self) -> np.ndarray:
         """7-D (tx,ty,tz,qw,qx,qy,qz) appearance-MLP input

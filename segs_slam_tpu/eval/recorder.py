@@ -1,0 +1,104 @@
+"""Run-artifact recorder: the reference's result-directory layout.
+
+Produces the exact files the reference's mapper and examples write at
+shutdown so the offline harness aggregates both systems identically
+(reference: renderAndRecordKeyframe/renderAndRecordAllKeyframes
+src/gaussian_mapper.cpp:1769-1981, examples/tum_rgbd.cpp:239-263,677-693):
+
+  <out>/rendered/<kfid>.png     <out>/ground_truth/<kfid>.png
+  <out>/render_time.txt  (ms)   <out>/psnr.txt
+  <out>/dssim.txt               <out>/psnr_gaussian_splatting.txt
+  <out>/RunningTime.txt         <out>/TrackingTime.txt
+  <out>/gaussians_num.txt       <out>/keyframe_used_times.txt
+  <out>/DevicePeakUsageMB.txt   (GpuPeakUsageMB.txt equivalent)
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+
+
+def _save_png(path: Path, img_chw: np.ndarray) -> None:
+    from PIL import Image
+
+    arr = np.clip(np.asarray(img_chw), 0, 1)
+    arr = (np.transpose(arr, (1, 2, 0)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def record_all_keyframes(trainer, out_dir: str | Path,
+                         record_images: bool = True,
+                         tracking_times: list | None = None,
+                         total_runtime_s: float | None = None) -> dict:
+    """Render every keyframe, write metric + timing artifacts; returns the
+    aggregate metrics."""
+    from segs_slam_tpu.train import losses
+
+    out = Path(out_dir)
+    (out / "rendered").mkdir(parents=True, exist_ok=True)
+    (out / "ground_truth").mkdir(parents=True, exist_ok=True)
+
+    render_ms, psnrs, dssims, psnr_gs = [], [], [], []
+    for kid, kf in sorted(trainer.scene.keyframes.items()):
+        cam, gt = trainer._kf_inputs(kf)
+        t0 = time.perf_counter()
+        img = trainer.render_keyframe(kf)
+        img.block_until_ready()  # timed like the reference's explicit sync
+        render_ms.append((time.perf_counter() - t0) * 1000.0)
+
+        mask = np.any(np.asarray(gt) != 0.0, axis=0, keepdims=True)
+        img_m = np.asarray(img) * mask
+        gt_m = np.asarray(gt) * mask
+        import jax.numpy as jnp
+
+        psnrs.append(float(losses.psnr(jnp.asarray(img_m), jnp.asarray(gt_m))))
+        dssims.append(
+            1.0 - float(losses.ssim(jnp.asarray(img_m), jnp.asarray(gt_m)))
+        )
+        psnr_gs.append(
+            float(
+                losses.psnr_gaussian_splatting(
+                    jnp.asarray(img_m), jnp.asarray(gt_m)
+                )
+            )
+        )
+        if record_images:
+            _save_png(out / "rendered" / f"{kid:06d}.png", img_m)
+            _save_png(out / "ground_truth" / f"{kid:06d}.png", gt_m)
+
+    def dump(name, vals, fmt="{:.6f}"):
+        with open(out / name, "w") as f:
+            for v in vals:
+                f.write(fmt.format(v) + "\n")
+
+    dump("render_time.txt", render_ms)
+    dump("psnr.txt", psnrs)
+    dump("dssim.txt", dssims)
+    dump("psnr_gaussian_splatting.txt", psnr_gs)
+    dump("gaussians_num.txt", [int(trainer.state.anchors.num_active())], "{}")
+    with open(out / "keyframe_used_times.txt", "w") as f:
+        for kid, n in sorted(trainer.scene.kfs_used_times.items()):
+            f.write(f"{kid} {n}\n")
+    if tracking_times:
+        dump("TrackingTime.txt", tracking_times)
+    if total_runtime_s is not None:
+        dump("RunningTime.txt", [total_runtime_s])
+
+    # device memory peak (GpuPeakUsageMB.txt equivalent)
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak_mb = stats.get("peak_bytes_in_use", 0) / 1e6
+        dump("DevicePeakUsageMB.txt", [peak_mb])
+    except Exception:
+        pass
+
+    return {
+        "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+        "dssim": float(np.mean(dssims)) if dssims else 0.0,
+        "psnr_gs": float(np.mean(psnr_gs)) if psnr_gs else 0.0,
+        "render_fps": 1000.0 / np.mean(render_ms) if render_ms else 0.0,
+    }

@@ -1,0 +1,185 @@
+"""ctypes bindings for the native runtime (dataloader + tracker).
+
+The library is built from dataloader.cpp / tracker.cpp by build.sh; the
+bindings build it on first use if the .so is missing and a toolchain is
+available, and degrade gracefully (native_available() == False) otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_LIB_PATH = _DIR / "libsegs_native.so"
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(["bash", str(_DIR / "build.sh")], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+
+    lib.sg_loader_create.restype = ctypes.c_void_p
+    lib.sg_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int, ctypes.c_float, ctypes.c_int,
+    ]
+    lib.sg_loader_set_undistort.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.sg_loader_dims.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.sg_loader_next.restype = ctypes.c_int
+    lib.sg_loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.sg_loader_destroy.argtypes = [ctypes.c_void_p]
+
+    lib.sg_tracker_create.restype = ctypes.c_void_p
+    lib.sg_tracker_create.argtypes = [
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int,
+    ]
+    lib.sg_tracker_track.restype = ctypes.c_int
+    lib.sg_tracker_track.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.sg_tracker_keyframe_points.restype = ctypes.c_int
+    lib.sg_tracker_keyframe_points.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.sg_tracker_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class NativeLoader:
+    """Threaded decode+undistort pipeline over a list of frame paths."""
+
+    def __init__(self, rgb_paths, depth_paths=None, depth_scale: float = 1.0,
+                 n_threads: int = 4, dist_coeffs=None, intrinsics=None):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        n = len(rgb_paths)
+        rgb_arr = (ctypes.c_char_p * n)(
+            *[str(p).encode() for p in rgb_paths]
+        )
+        if depth_paths is not None:
+            depth_arr = (ctypes.c_char_p * n)(
+                *[str(p).encode() if p else None for p in depth_paths]
+            )
+        else:
+            depth_arr = None
+        self._h = lib.sg_loader_create(
+            ctypes.cast(rgb_arr, ctypes.POINTER(ctypes.c_char_p)),
+            ctypes.cast(depth_arr, ctypes.POINTER(ctypes.c_char_p))
+            if depth_arr
+            else None,
+            n, depth_scale, n_threads,
+        )
+        w, h = ctypes.c_int(), ctypes.c_int()
+        lib.sg_loader_dims(self._h, ctypes.byref(w), ctypes.byref(h))
+        self.width, self.height = w.value, h.value
+        self._n = n
+        if dist_coeffs is not None and any(dist_coeffs):
+            fx, fy, cx, cy = intrinsics
+            d = (ctypes.c_double * 5)(*dist_coeffs)
+            lib.sg_loader_set_undistort(self._h, fx, fy, cx, cy, d)
+
+    def __iter__(self):
+        rgb = np.empty((self.height, self.width, 3), np.float32)
+        depth = np.empty((self.height, self.width), np.float32)
+        has_depth = ctypes.c_int()
+        while True:
+            idx = self._lib.sg_loader_next(
+                self._h,
+                rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.byref(has_depth),
+            )
+            if idx == -1:
+                return
+            if idx == -2:
+                continue
+            yield idx, rgb.copy(), (depth.copy() if has_depth.value else None)
+
+    def close(self):
+        if self._h:
+            self._lib.sg_loader_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeTracker:
+    """RGB-D ORB + PnP visual odometry (see tracker.cpp)."""
+
+    TRACKED = 0
+    NEW_KEYFRAME = 1
+    LOST = -1
+
+    def __init__(self, fx, fy, cx, cy, n_features: int = 1500):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.sg_tracker_create(fx, fy, cx, cy, n_features)
+
+    def track(self, gray_u8: np.ndarray, depth_f32: np.ndarray):
+        """Returns (status, pose7 (tx,ty,tz,qw,qx,qy,qz), n_inliers)."""
+        h, w = gray_u8.shape
+        gray_u8 = np.ascontiguousarray(gray_u8, np.uint8)
+        depth_f32 = np.ascontiguousarray(depth_f32, np.float32)
+        pose = (ctypes.c_double * 7)()
+        n_inl = ctypes.c_int()
+        status = self._lib.sg_tracker_track(
+            self._h,
+            gray_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            depth_f32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            w, h, pose, ctypes.byref(n_inl),
+        )
+        return status, np.array(pose[:7]), n_inl.value
+
+    def keyframe_points(self, max_n: int = 2000):
+        """(n, 5) rows of (u, v, x, y, z) for the last keyframe."""
+        buf = np.empty((max_n, 5), np.float32)
+        n = self._lib.sg_tracker_keyframe_points(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_n
+        )
+        return buf[:n].copy()
+
+    def __del__(self):
+        try:
+            self._lib.sg_tracker_destroy(self._h)
+        except Exception:
+            pass

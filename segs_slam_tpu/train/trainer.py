@@ -40,6 +40,10 @@ class Trainer:
     seed: int = 0
     keyframe_times_of_use: int = 8  # Mapper.new_keyframe_times_of_use
     interpret: bool | None = None
+    # Gaussian-pyramid coarse-to-fine supervision (reference:
+    # GausPyramid.* keys + src/gaussian_mapper.cpp:837-859)
+    num_pyramid_sub_levels: int = 0
+    pyramid_times_of_use: int = 8
 
     scene: Scene = field(init=False)
     state: TrainState = field(init=False, default=None)
@@ -50,27 +54,52 @@ class Trainer:
         self._bg = jnp.asarray(
             np.ones(3, np.float32) if self.white_background else np.zeros(3, np.float32)
         )
-        self._step = jax.jit(
-            make_train_step(
-                self.model_config,
-                self.opt_config,
-                self.raster_config,
-                self.width,
-                self.height,
-                interpret=self.interpret,
-            )
-        )
+        self._steps: dict[tuple[int, int], callable] = {}
         self._adjust = jax.jit(make_adjust_anchor(self.model_config, self.opt_config))
         self._rng = jax.random.PRNGKey(self.seed)
         self._cam_cache: dict[int, dict] = {}
-        self._gt_cache: dict[int, jnp.ndarray] = {}
+        self._gt_cache: dict[tuple[int, int], jnp.ndarray] = {}
+        # pyramid level sizes: level i < num_sub_levels is w / 2^(num-i),
+        # rounded to a multiple of 16 (reference: graphics_utils.h:26-40)
+        self._level_sizes = []
+        for i in range(self.num_pyramid_sub_levels):
+            f = 2 ** (self.num_pyramid_sub_levels - i)
+            self._level_sizes.append(
+                (max(16, self.width // f // 16 * 16),
+                 max(16, self.height // f // 16 * 16))
+            )
+        self._level_sizes.append((self.width, self.height))
+
+    def _step_for(self, w: int, h: int):
+        key = (w, h)
+        if key not in self._steps:
+            self._steps[key] = jax.jit(
+                make_train_step(
+                    self.model_config,
+                    self.opt_config,
+                    self.raster_config,
+                    w,
+                    h,
+                    interpret=self.interpret,
+                )
+            )
+        return self._steps[key]
+
+    @property
+    def _step(self):
+        return self._step_for(self.width, self.height)
 
     # --- setup ---
     def add_keyframe(self, kf: Keyframe) -> None:
         kf.remaining_times_of_use = self.keyframe_times_of_use
+        if self.num_pyramid_sub_levels and kf.gaus_pyramid_times_of_use is None:
+            kf.gaus_pyramid_times_of_use = [
+                self.pyramid_times_of_use
+            ] * self.num_pyramid_sub_levels
         self.scene.add_keyframe(kf)
         self._cam_cache.pop(kf.kf_id, None)
-        self._gt_cache.pop(kf.kf_id, None)
+        for lvl in range(self.num_pyramid_sub_levels + 1):
+            self._gt_cache.pop((kf.kf_id, lvl), None)
 
     def initialize_map(self, points: np.ndarray) -> int:
         # cameras_extent -> spatial_lr_scale (reference: getNerfppNorm radius
@@ -81,16 +110,7 @@ class Trainer:
 
             radius = self.scene.nerfpp_norm_radius()
             self.opt_config = _dc.replace(self.opt_config, spatial_lr_scale=radius)
-            self._step = jax.jit(
-                make_train_step(
-                    self.model_config,
-                    self.opt_config,
-                    self.raster_config,
-                    self.width,
-                    self.height,
-                    interpret=self.interpret,
-                )
-            )
+            self._steps.clear()
             self._adjust = jax.jit(
                 make_adjust_anchor(self.model_config, self.opt_config)
             )
@@ -133,18 +153,27 @@ class Trainer:
         self.state = self.state._replace(anchors=anchors)
 
     # --- training ---
-    def _kf_inputs(self, kf: Keyframe):
+    def _kf_inputs(self, kf: Keyframe, level: int | None = None):
+        if level is None:
+            level = self.num_pyramid_sub_levels
         cam = self._cam_cache.get(kf.kf_id)
         if cam is None:
             cam = {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
             self._cam_cache[kf.kf_id] = cam
-        gt = self._gt_cache.get(kf.kf_id)
+        gt = self._gt_cache.get((kf.kf_id, level))
         if gt is None:
             img = kf.image
             if img.shape[0] != 3:  # HWC -> CHW
                 img = np.transpose(img, (2, 0, 1))
+            if level < self.num_pyramid_sub_levels:
+                w, h = self._level_sizes[level]
+                import jax.image
+
+                img = np.asarray(
+                    jax.image.resize(jnp.asarray(img), (3, h, w), "bilinear")
+                )
             gt = jnp.asarray(img, jnp.float32)
-            self._gt_cache[kf.kf_id] = gt
+            self._gt_cache[(kf.kf_id, level)] = gt
         return cam, gt
 
     def train_iteration(self):
@@ -152,8 +181,14 @@ class Trainer:
         if kf is None:
             return None
         self.iteration += 1
-        cam, gt = self._kf_inputs(kf)
-        self.state, metrics = self._step(self.state, cam, gt, self._bg)
+        level = (
+            kf.next_pyramid_level(self.num_pyramid_sub_levels)
+            if self.num_pyramid_sub_levels
+            else self.num_pyramid_sub_levels
+        )
+        w, h = self._level_sizes[level] if self._level_sizes else (self.width, self.height)
+        cam, gt = self._kf_inputs(kf, level)
+        self.state, metrics = self._step_for(w, h)(self.state, cam, gt, self._bg)
 
         oc = self.opt_config
         it = self.iteration
@@ -187,31 +222,44 @@ class Trainer:
 
     # --- evaluation (reference: renderAndRecordKeyframe,
     # src/gaussian_mapper.cpp:1769-1907) ---
+    def _eval_render(self):
+        if not hasattr(self, "_eval_render_jit"):
+            def _r(anchors, decoders, cam):
+                return render(
+                    anchors, decoders, cam, self.width, self.height, self._bg,
+                    self.model_config, self.raster_config,
+                    interpret=self.interpret,
+                ).image
+
+            self._eval_render_jit = jax.jit(_r)
+        return self._eval_render_jit
+
     def render_keyframe(self, kf: Keyframe):
         cam, _ = self._kf_inputs(kf)
-        out = render(
-            self.state.anchors,
-            self.state.decoders,
-            cam,
-            self.width,
-            self.height,
-            self._bg,
-            self.model_config,
-            self.raster_config,
-            interpret=self.interpret,
-        )
-        return out.image
+        return self._eval_render()(self.state.anchors, self.state.decoders, cam)
 
     def evaluate(self) -> dict:
+        if not hasattr(self, "_eval_metrics_jit"):
+            def _m(img, gt):
+                mask = jnp.any(gt != 0.0, axis=0, keepdims=True).astype(
+                    jnp.float32
+                )
+                img_m, gt_m = img * mask, gt * mask
+                return (
+                    losses.psnr(img_m, gt_m),
+                    losses.ssim(img_m, gt_m),
+                    losses.psnr_gaussian_splatting(img_m, gt_m),
+                )
+
+            self._eval_metrics_jit = jax.jit(_m)
         psnrs, ssims, psnr_gs = [], [], []
         for kf in self.scene.keyframes.values():
             cam, gt = self._kf_inputs(kf)
             img = self.render_keyframe(kf)
-            mask = jnp.any(gt != 0.0, axis=0, keepdims=True).astype(jnp.float32)
-            img_m, gt_m = img * mask, gt * mask
-            psnrs.append(float(losses.psnr(img_m, gt_m)))
-            ssims.append(float(losses.ssim(img_m, gt_m)))
-            psnr_gs.append(float(losses.psnr_gaussian_splatting(img_m, gt_m)))
+            p, s, pg = self._eval_metrics_jit(img, gt)
+            psnrs.append(float(p))
+            ssims.append(float(s))
+            psnr_gs.append(float(pg))
         return {
             "psnr": float(np.mean(psnrs)),
             "ssim": float(np.mean(ssims)),

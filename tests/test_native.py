@@ -1,0 +1,96 @@
+"""Native runtime tests (dataloader + tracker) — skipped when no toolchain."""
+
+import numpy as np
+import pytest
+
+from segs_slam_tpu.native import NativeLoader, NativeTracker, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library unavailable"
+)
+
+
+def _write_png(path, arr_u8):
+    from PIL import Image
+
+    Image.fromarray(arr_u8).save(path)
+
+
+def test_native_loader_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    paths = []
+    imgs = []
+    for i in range(5):
+        img = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+        p = tmp_path / f"f{i}.png"
+        _write_png(p, img)
+        paths.append(p)
+        imgs.append(img)
+    depth_paths = []
+    for i in range(5):
+        d = (rng.uniform(0.5, 3.0, (24, 32)) * 5000).astype(np.uint16)
+        p = tmp_path / f"d{i}.png"
+        _write_png(p, d)
+        depth_paths.append(p)
+
+    loader = NativeLoader(paths, depth_paths, depth_scale=5000.0, n_threads=2)
+    assert (loader.width, loader.height) == (32, 24)
+    got = list(loader)
+    assert [i for i, _, _ in got] == list(range(5))
+    for i, rgb, depth in got:
+        np.testing.assert_allclose(rgb * 255, imgs[i], atol=1.0)
+        assert depth is not None
+        assert 0.4 < depth.mean() < 3.1
+    loader.close()
+
+
+def _render_dots(w, h, pts2d, size=3):
+    img = np.full((h, w), 30, np.uint8)
+    rng = np.random.default_rng(0)
+    img = img + rng.integers(0, 20, (h, w)).astype(np.uint8)
+    for (u, v), val in zip(pts2d, range(80, 255, 1)):
+        ui, vi = int(u), int(v)
+        if 1 <= ui < w - 1 and 1 <= vi < h - 1:
+            img[vi - size : vi + size, ui - size : ui + size] = val % 255
+    return img
+
+
+def test_native_tracker_recovers_translation():
+    """Synthetic RGB-D sequence: textured plane, camera translating in x."""
+    w, h = 320, 240
+    fx = fy = 200.0
+    cx, cy = w / 2, h / 2
+    rng = np.random.default_rng(1)
+    # random 3D points on a z=2 plane
+    pts = rng.uniform([-1.5, -1.0, 1.8], [1.5, 1.0, 2.4], (400, 3))
+
+    def view(dx):
+        # camera at (dx, 0, 0) looking down +z: p_cam = p - center
+        p = pts - np.array([dx, 0, 0])
+        u = p[:, 0] / p[:, 2] * fx + cx
+        v = p[:, 1] / p[:, 2] * fy + cy
+        img = _render_dots(w, h, np.stack([u, v], 1))
+        depth = np.zeros((h, w), np.float32)
+        for (uu, vv), z in zip(np.stack([u, v], 1), p[:, 2]):
+            ui, vi = int(uu), int(vv)
+            if 0 <= ui < w and 0 <= vi < h:
+                depth[max(0, vi - 3) : vi + 3, max(0, ui - 3) : ui + 3] = z
+        depth[depth == 0] = 2.1  # plane fill
+        return img, depth
+
+    tracker = NativeTracker(fx, fy, cx, cy, n_features=800)
+    img0, d0 = view(0.0)
+    status, pose, n = tracker.track(img0, d0)
+    assert status == NativeTracker.NEW_KEYFRAME
+
+    img1, d1 = view(0.05)
+    status, pose, n = tracker.track(img1, d1)
+    assert status in (NativeTracker.TRACKED, NativeTracker.NEW_KEYFRAME)
+    assert n > 20
+    # camera moved +x by 0.05 -> world-to-camera translation ~ (-0.05, 0, 0)
+    assert abs(pose[0] - (-0.05)) < 0.03, pose
+    assert abs(pose[1]) < 0.03 and abs(pose[2]) < 0.05
+
+    kp = tracker.keyframe_points()
+    assert len(kp) > 50
+    assert (kp[:, 4] > 0).all()
