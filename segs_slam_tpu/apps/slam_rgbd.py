@@ -1,0 +1,248 @@
+"""Online RGB-D SLAM + mapping — the replica_rgbd / tum_rgbd equivalent.
+
+Pipeline (mirroring the entry-point skeleton of examples/tum_rgbd.cpp:119-268):
+native dataloader (C++ worker pool) -> tracking (native ORB+PnP frontend or
+ground-truth pose oracle) -> MappingOperation queue -> Mapper thread driving
+the jitted TPU train step -> shutdown artifacts (trajectory, metrics,
+rendered keyframes, PLY).
+
+Usage:
+  python -m segs_slam_tpu.apps.slam_rgbd --dataset replica --path <seq_dir> \
+      --out results/replica_room0 [--tracker native|oracle] [--iters-budget N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+from segs_slam_tpu.core.camera import Camera
+from segs_slam_tpu.eval import metrics as M
+from segs_slam_tpu.eval.recorder import record_all_keyframes
+from segs_slam_tpu.io import datasets
+from segs_slam_tpu.models.config import ModelConfig
+from segs_slam_tpu.ops.rasterizer import RasterConfig
+from segs_slam_tpu.slam.mapper import Mapper, MapperConfig
+from segs_slam_tpu.slam.protocol import (
+    KeyframeData,
+    MappingOperation,
+    MappingQueue,
+    OperationKind,
+)
+from segs_slam_tpu.slam import frontends
+from segs_slam_tpu.train.config import OptimizationConfig
+from segs_slam_tpu.train.trainer import Trainer
+
+# Per-dataset camera intrinsics defaults (reference: cfg/ORB_SLAM3 yamls)
+DATASET_DEFAULTS = {
+    "replica": dict(fx=600.0, fy=600.0, cx=599.5, cy=339.5, w=1200, h=680,
+                    depth_scale=6553.5),
+    "tum": dict(fx=517.306408, fy=516.469215, cx=318.643040, cy=255.313989,
+                w=640, h=480, depth_scale=5000.0),
+}
+
+
+def run_producer(frames, camera, queue, tracker_kind, depth_scale,
+                 keyframe_every, points_per_kf, tracking_times, stop_event):
+    """Tracking thread: decode + track + push keyframe operations."""
+    rng = np.random.default_rng(0)
+    next_pid = [0]
+
+    try:
+        from segs_slam_tpu.native import NativeLoader, NativeTracker, native_available
+        use_native_loader = native_available()
+    except Exception:
+        use_native_loader = False
+
+    tracker = None
+    if tracker_kind == "native":
+        from segs_slam_tpu.native import NativeTracker
+
+        tracker = NativeTracker(camera.fx, camera.fy, camera.cx, camera.cy)
+
+    def push_keyframe(i, fr, rgb, depth, quat, trans, kp=None):
+        kfd = KeyframeData(
+            kf_id=i, camera_id=camera.camera_id, quat=quat, trans=trans,
+            image=rgb, depth=depth, timestamp=fr.timestamp,
+            keypoint_pixels=kp[:, :2] if kp is not None else None,
+            keypoint_points=kp[:, 2:5] if kp is not None else None,
+        )
+        op = MappingOperation(kind=OperationKind.LOCAL_MAPPING_BA,
+                              keyframes=[kfd])
+        if depth is not None:
+            pts = frontends.backproject_depth(depth, camera, quat, trans,
+                                              0.05, 20.0, stride=8)
+            if len(pts) > points_per_kf:
+                pts = pts[rng.choice(len(pts), points_per_kf, replace=False)]
+            op.points_xyz = pts
+            op.point_ids = np.arange(next_pid[0], next_pid[0] + len(pts))
+            next_pid[0] += len(pts)
+        queue.push(op)
+
+    if use_native_loader:
+        from segs_slam_tpu.native import NativeLoader
+
+        loader = NativeLoader(
+            [f.rgb_path for f in frames],
+            [f.depth_path for f in frames],
+            depth_scale=depth_scale,
+            n_threads=4,
+        )
+        frame_iter = ((i, rgb, depth) for i, rgb, depth in loader)
+    else:
+        def _it():
+            for i, f in enumerate(frames):
+                yield i, f.load_rgb(), f.load_depth(depth_scale)
+        frame_iter = _it()
+
+    est_rows = []
+    for i, rgb, depth in frame_iter:
+        if stop_event.is_set():
+            break
+        fr = frames[i]
+        t0 = time.perf_counter()
+        if tracker is not None and depth is not None:
+            gray = (rgb.mean(axis=2) * 255).astype(np.uint8)
+            status, pose7, _ = tracker.track(gray, depth)
+            quat = pose7[3:7]
+            trans = pose7[0:3]
+            is_kf = status == 1
+            kp = tracker.keyframe_points() if is_kf else None
+        else:  # pose oracle from the dataset ground truth
+            quat, trans = fr.quat, fr.trans
+            is_kf = i % keyframe_every == 0
+            kp = None
+        tracking_times.append(time.perf_counter() - t0)
+        est_rows.append((fr.timestamp, quat.copy(), np.asarray(trans).copy()))
+        if is_kf:
+            push_keyframe(i, fr, rgb, depth, np.asarray(quat),
+                          np.asarray(trans), kp)
+    return est_rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", choices=["replica", "tum"], required=True)
+    p.add_argument("--path", required=True)
+    p.add_argument("--out", default="results/run")
+    p.add_argument("--tracker", choices=["native", "oracle"], default="native")
+    p.add_argument("--keyframe-every", type=int, default=10)
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--iters-budget", type=int, default=30_000)
+    p.add_argument("--capacity", type=int, default=2**16)
+    p.add_argument("--compact", type=int, default=2**16)
+    p.add_argument("--kmax", type=int, default=8)
+    p.add_argument("--downscale", type=int, default=1)
+    # intrinsic overrides (e.g. synthetic datasets)
+    p.add_argument("--fx", type=float, default=0)
+    p.add_argument("--fy", type=float, default=0)
+    p.add_argument("--cx", type=float, default=-1)
+    p.add_argument("--cy", type=float, default=-1)
+    p.add_argument("--width", type=int, default=0)
+    p.add_argument("--height", type=int, default=0)
+    args = p.parse_args(argv)
+
+    d = dict(DATASET_DEFAULTS[args.dataset])
+    if args.width:
+        d["w"] = args.width
+    if args.height:
+        d["h"] = args.height
+    if args.fx:
+        d["fx"] = args.fx
+    if args.fy:
+        d["fy"] = args.fy
+    if args.cx >= 0:
+        d["cx"] = args.cx
+    if args.cy >= 0:
+        d["cy"] = args.cy
+    s = args.downscale
+    cam = Camera(camera_id=0, width=d["w"] // s, height=d["h"] // s,
+                 fx=d["fx"] / s, fy=d["fy"] / s,
+                 cx=d["cx"] / s, cy=d["cy"] / s)
+
+    if args.dataset == "replica":
+        frames = datasets.load_replica(args.path)
+    else:
+        frames = datasets.load_tum_rgbd(args.path)
+    if args.max_frames:
+        frames = frames[: args.max_frames]
+    print(f"{len(frames)} frames")
+
+    mc = ModelConfig(capacity=args.capacity)
+    oc = OptimizationConfig(iterations=args.iters_budget)
+    rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax, chunk=256)
+    trainer = Trainer(mc, oc, rc, width=cam.width, height=cam.height)
+    trainer.scene.add_camera(cam)
+    queue = MappingQueue()
+    mapper = Mapper(queue, trainer, cam, MapperConfig(min_num_initial_map_kfs=5))
+
+    tracking_times: list[float] = []
+    stop_event = threading.Event()
+    est_rows_box: list = []
+
+    def producer():
+        est_rows_box.extend(
+            run_producer(frames, cam, queue, args.tracker, d["depth_scale"],
+                         args.keyframe_every, 300, tracking_times, stop_event)
+        )
+        mapper.signal_stop()
+
+    t0 = time.time()
+    prod_thread = threading.Thread(target=producer, daemon=True)
+    prod_thread.start()
+    mapper.run(max_iterations=args.iters_budget)
+    prod_thread.join()
+    runtime = time.time() - t0
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    # trajectories (estimated + gt) in TUM format
+    if est_rows_box:
+        times = [r[0] for r in est_rows_box]
+        centers, quats = [], []
+        for _, q, t in est_rows_box:
+            w_, x_, y_, z_ = q
+            R = np.array([
+                [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_), 2 * (x_ * z_ + w_ * y_)],
+                [2 * (x_ * y_ + w_ * z_), 1 - 2 * (x_ * x_ + z_ * z_), 2 * (y_ * z_ - w_ * x_)],
+                [2 * (x_ * z_ - w_ * y_), 2 * (y_ * z_ + w_ * x_), 1 - 2 * (x_ * x_ + y_ * y_)],
+            ])
+            centers.append(-R.T @ t)
+            qc = np.array([w_, x_, y_, z_])
+            quats.append(qc)
+        M.save_tum_trajectory(out / "CameraTrajectory_TUM.txt", times, centers,
+                              quats)
+        gt_centers = []
+        gt_quats = []
+        for fr in frames:
+            R = None
+            w_, x_, y_, z_ = fr.quat
+            R = np.array([
+                [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_), 2 * (x_ * z_ + w_ * y_)],
+                [2 * (x_ * y_ + w_ * z_), 1 - 2 * (x_ * x_ + z_ * z_), 2 * (y_ * z_ - w_ * x_)],
+                [2 * (x_ * z_ - w_ * y_), 2 * (y_ * z_ + w_ * x_), 1 - 2 * (x_ * x_ + y_ * y_)],
+            ])
+            gt_centers.append(-R.T @ fr.trans)
+            gt_quats.append(fr.quat)
+        M.save_tum_trajectory(out / "groundtruth.txt",
+                              [f.timestamp for f in frames], gt_centers,
+                              gt_quats)
+
+    agg = record_all_keyframes(trainer, out, tracking_times=tracking_times,
+                               total_runtime_s=runtime)
+    trainer.save_ply(out / "anchors.ply")
+    from segs_slam_tpu.io.checkpoint import save_mlp_checkpoints_txt, save_cameras_json
+
+    save_mlp_checkpoints_txt(out / "mlps", trainer.state.decoders)
+    save_cameras_json(out / "cameras.json", trainer.scene.keyframes)
+    print("done:", {k: round(v, 3) for k, v in agg.items()},
+          f"runtime {runtime:.0f}s, {trainer.iteration} iters")
+    return agg
+
+
+if __name__ == "__main__":
+    main()

@@ -133,8 +133,11 @@ def expand_and_sort(
 
     out = lax.sort((tile, depth, gid) + pays, num_keys=2, is_stable=True)
     tile_sorted = out[0]
+    depth_sorted = out[1]
     gid_sorted = out[2]
-    feats_sorted = out[3:]
+    # depth rides along as a 10th feature column (expected-depth rendering);
+    # it gets no gradient (the sort key is stop-gradient upstream).
+    feats_sorted = out[3:] + (depth_sorted,)
 
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_sorted, tiles, side="left").astype(jnp.int32)

@@ -48,7 +48,7 @@ from segs_slam_tpu.ops.rasterizer.binning import (
 )
 
 NFEAT = 16
-F_X, F_Y, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B = range(9)
+F_X, F_Y, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_D = range(10)
 
 
 def _prefix_prod_lane(x):
@@ -133,6 +133,7 @@ def _fwd_kernel(
     # outputs
     color_ref,  # [1, 3, P]
     final_t_ref,  # [1, 1, P]
+    depth_ref,  # [1, 1, P] expected depth (sum w_i * depth_i)
     ncontrib_ref,  # [1, 1, P]
     # scratch
     chunk_vmem,  # [NFEAT, C]
@@ -153,7 +154,7 @@ def _fwd_kernel(
     px, py = _pixel_coords(t, tx, cfg.tile, npix)
 
     def body(ci, carry):
-        T, C, nc = carry
+        T, C, D, nc = carry
         base = ci * ch
         off = pl.multiple_of(astart + base, ch)
         copy = pltpu.make_async_copy(
@@ -177,6 +178,7 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )  # [3, P]
         C = C + contrib
+        D = D + jnp.sum(chunk[F_D : F_D + 1, :] * w, axis=1, keepdims=True)
 
         # T_out = smallest accepted test_t (accept is a prefix per pixel).
         T = jnp.min(jnp.where(accept, test_t, T), axis=1, keepdims=True)
@@ -187,10 +189,10 @@ def _fwd_kernel(
         nc = jnp.maximum(
             nc, jnp.max(jnp.where(accepted, idx1, 0), axis=1, keepdims=True)
         )
-        return T, C, nc
+        return T, C, D, nc
 
     def cond(state):
-        ci, (T, _, _) = state
+        ci, (T, _, _, _) = state
         return (ci * ch < hi) & (jnp.max(T) >= cfg.transmittance_min)
 
     def step(state):
@@ -199,12 +201,14 @@ def _fwd_kernel(
 
     T0 = jnp.ones((npix, 1), jnp.float32)
     C0 = jnp.zeros((3, npix), jnp.float32)
+    D0 = jnp.zeros((npix, 1), jnp.float32)
     nc0 = jnp.zeros((npix, 1), jnp.int32)
-    _, (T, C, nc) = lax.while_loop(cond, step, (0, (T0, C0, nc0)))
+    _, (T, C, D, nc) = lax.while_loop(cond, step, (0, (T0, C0, D0, nc0)))
 
     bg = bg_ref[:, :]  # [3, 1]
     color_ref[0, :, :] = C + bg * T.reshape(1, npix)
     final_t_ref[0, 0, :] = T.reshape(npix)
+    depth_ref[0, 0, :] = D.reshape(npix)
     ncontrib_ref[0, 0, :] = nc.reshape(npix)
 
 
@@ -361,14 +365,17 @@ def binned_blend(feats, aux, bg, static):
     aux: dict(rect_min_x, rect_min_y, rect_w, touched [int32 (N,)],
               depth [f32 (N,)], alive [bool (N,)]) — non-differentiable.
     bg: (3,) background color.
-    Returns (color [nt,3,P], final_T [nt,1,P], n_contrib [nt,1,P],
-    num_instances, num_compact)."""
+    Returns (color [nt,3,P], final_T [nt,1,P], depth [nt,1,P],
+    n_contrib [nt,1,P], num_instances, num_compact)."""
     out, _ = _binned_blend_fwd(feats, aux, bg, static)
     return out
 
 
 def _stack_feats(feats_sorted, nk, chunk):
-    cols = list(feats_sorted) + [jnp.zeros((nk,), jnp.float32)] * (NFEAT - NPAY)
+    # feats_sorted = NPAY gradient-bearing columns + the depth column
+    cols = list(feats_sorted) + [jnp.zeros((nk,), jnp.float32)] * (
+        NFEAT - len(feats_sorted)
+    )
     stacked = jnp.stack(cols, axis=0)  # [NFEAT, NK]
     return jnp.concatenate(
         [stacked, jnp.zeros((NFEAT, chunk), jnp.float32)], axis=1
@@ -388,10 +395,12 @@ def _binned_blend_fwd(feats, aux, bg, static):
     out_shapes = (
         jax.ShapeDtypeStruct((nt, 3, npix), jnp.float32),
         jax.ShapeDtypeStruct((nt, 1, npix), jnp.float32),
+        jax.ShapeDtypeStruct((nt, 1, npix), jnp.float32),
         jax.ShapeDtypeStruct((nt, 1, npix), jnp.int32),
     )
     out_specs = (
         pl.BlockSpec((1, 3, npix), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),
         pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),
         pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),
     )
@@ -405,10 +414,11 @@ def _binned_blend_fwd(feats, aux, bg, static):
     ]
     call = _pallas_call(kern, static, out_shapes, out_specs, in_specs, scratch)
     bg_col = bg.reshape(3, 1)
-    color, final_t, ncontrib = call(
+    color, final_t, depth_img, ncontrib = call(
         binned.tile_start, binned.tile_stop, feats_hbm, bg_col
     )
-    out = (color, final_t, ncontrib, binned.num_instances, cg.num_valid)
+    out = (color, final_t, depth_img, ncontrib, binned.num_instances,
+           cg.num_valid)
     aux_struct = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), aux
     )

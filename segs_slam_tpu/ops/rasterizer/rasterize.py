@@ -102,8 +102,8 @@ def rasterize(
     tx, ty = config.grid(width, height)
     npix = config.tile * config.tile
     static = (config, tx, ty, npix, interpret)
-    color, final_t, ncontrib, num_instances, num_compact = binned_blend(
-        feats, aux, bg.astype(jnp.float32), static
+    color, final_t, depth_img, ncontrib, num_instances, num_compact = (
+        binned_blend(feats, aux, bg.astype(jnp.float32), static)
     )
 
     # (nt, 3, P) -> (3, H, W)
@@ -123,12 +123,18 @@ def rasterize(
         .transpose(0, 2, 1, 3)
         .reshape(ty * b, tx * b)[:height, :width]
     )
+    depth_map = (
+        depth_img.reshape(ty, tx, b, b)
+        .transpose(0, 2, 1, 3)
+        .reshape(ty * b, tx * b)[:height, :width]
+    )
 
     return {
         "image": image,
         "radii": proj.radius,
         "final_T": final_t_img,
         "n_contrib": ncontrib_img,
+        "depth_map": depth_map,
         "num_instances": num_instances,
         "num_compact": num_compact,
         "depth": proj.depth,

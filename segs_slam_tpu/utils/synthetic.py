@@ -55,7 +55,7 @@ def make_room_scene(n_gaussians: int = 4000, seed: int = 0):
     means = np.concatenate([pts, free_pts]).astype(np.float32)
     colors = np.concatenate([cols, free_cols]).astype(np.float32)
 
-    scales = np.exp(rng.uniform(-3.3, -2.4, (n_gaussians, 3))).astype(np.float32)
+    scales = np.exp(rng.uniform(-4.3, -3.0, (n_gaussians, 3))).astype(np.float32)
     quats = rng.normal(size=(n_gaussians, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     opac = rng.uniform(0.55, 0.98, n_gaussians).astype(np.float32)
@@ -65,15 +65,14 @@ def make_room_scene(n_gaussians: int = 4000, seed: int = 0):
 def make_trajectory(n_views: int, seed: int = 0):
     """Camera poses looking into the room from jittered positions near the
     opening (z ~ 0), as (quat wxyz, trans) world-to-camera pairs."""
-    rng = np.random.default_rng(seed + 1)
     poses = []
     for i in range(n_views):
-        # camera center in world
+        # camera center in world — smooth path (trackable frame-to-frame)
         t_frac = i / max(n_views - 1, 1)
         center = np.array([
-            -1.0 + 2.0 * t_frac + rng.normal(0, 0.05),
-            0.2 * np.sin(3 * t_frac * np.pi) + rng.normal(0, 0.05),
-            0.3 + 0.4 * rng.uniform(),
+            -1.0 + 2.0 * t_frac + 0.05 * np.sin(11 * t_frac * np.pi),
+            0.2 * np.sin(3 * t_frac * np.pi),
+            0.3 + 0.2 * (1 - np.cos(5 * t_frac * np.pi)),
         ])
         look = np.array([0.0, 0.0, 4.5]) - center
         look /= np.linalg.norm(look)
