@@ -47,7 +47,8 @@ DATASET_DEFAULTS = {
 
 
 def run_producer(frames, camera, queue, tracker_kind, depth_scale,
-                 keyframe_every, points_per_kf, tracking_times, stop_event):
+                 keyframe_every, points_per_kf, tracking_times, stop_event,
+                 fps=0.0):
     """Tracking thread: decode + track + push keyframe operations."""
     rng = np.random.default_rng(0)
     next_pid = [0]
@@ -100,9 +101,12 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
         frame_iter = _it()
 
     est_rows = []
+    frame_interval = (1.0 / fps) if fps else 0.0
     for i, rgb, depth in frame_iter:
         if stop_event.is_set():
             break
+        if frame_interval:
+            time.sleep(frame_interval)
         fr = frames[i]
         t0 = time.perf_counter()
         if tracker is not None and depth is not None:
@@ -137,6 +141,8 @@ def main(argv=None):
     p.add_argument("--compact", type=int, default=2**16)
     p.add_argument("--kmax", type=int, default=8)
     p.add_argument("--downscale", type=int, default=1)
+    p.add_argument("--fps", type=float, default=0.0,
+                  help="pace the frame feed (0 = free-run)")
     # intrinsic overrides (e.g. synthetic datasets)
     p.add_argument("--fx", type=float, default=0)
     p.add_argument("--fy", type=float, default=0)
@@ -187,7 +193,8 @@ def main(argv=None):
     def producer():
         est_rows_box.extend(
             run_producer(frames, cam, queue, args.tracker, d["depth_scale"],
-                         args.keyframe_every, 300, tracking_times, stop_event)
+                         args.keyframe_every, 300, tracking_times, stop_event,
+                         fps=args.fps)
         )
         mapper.signal_stop()
 

@@ -43,6 +43,10 @@ def record_all_keyframes(trainer, out_dir: str | Path,
     (out / "ground_truth").mkdir(parents=True, exist_ok=True)
 
     render_ms, psnrs, dssims, psnr_gs = [], [], [], []
+    # warm the jitted eval render so compile time never pollutes FPS stats
+    first = next(iter(trainer.scene.keyframes.values()), None)
+    if first is not None:
+        trainer.render_keyframe(first).block_until_ready()
     for kid, kf in sorted(trainer.scene.keyframes.items()):
         cam, gt = trainer._kf_inputs(kf)
         t0 = time.perf_counter()

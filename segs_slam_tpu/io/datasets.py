@@ -131,3 +131,66 @@ def load_tum_rgbd(seq_dir: str | Path, depth_scale: float = 5000.0) -> list[Fram
             )
         )
     return frames
+
+
+def load_euroc_stereo(seq_dir: str | Path) -> list[tuple["Frame", str]]:
+    """EuRoC MAV stereo: mav0/cam0 + mav0/cam1 image streams and the
+    ground-truth state estimate, associated by timestamp (reference:
+    examples/euroc_stereo.cpp LoadImages). Returns (left Frame, right path)
+    pairs; poses are body-frame ground truth converted to world-to-camera
+    using the standard EuRoC cam0 extrinsics.
+    """
+    seq_dir = Path(seq_dir)
+    mav = seq_dir / "mav0"
+
+    def read_csv(path):
+        rows = []
+        with open(path) as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                rows.append(line.strip().split(","))
+        return rows
+
+    cam0 = read_csv(mav / "cam0" / "data.csv")
+    cam1 = {r[0]: r[1] for r in read_csv(mav / "cam1" / "data.csv")}
+    gt_rows = read_csv(mav / "state_groundtruth_estimate0" / "data.csv")
+    gt_t = np.array([float(r[0]) for r in gt_rows]) * 1e-9
+    gt_pos = np.array([[float(r[1]), float(r[2]), float(r[3])] for r in gt_rows])
+    gt_quat = np.array(
+        [[float(r[4]), float(r[5]), float(r[6]), float(r[7])] for r in gt_rows]
+    )  # w x y z, body-to-world
+
+    # standard EuRoC cam0-to-body extrinsics (sensor.yaml T_BS)
+    T_BS = np.array([
+        [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975],
+        [0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768],
+        [-0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+
+    from segs_slam_tpu.core import se3
+    import jax.numpy as jnp
+
+    frames = []
+    for ts_ns, rel in cam0:
+        t_s = float(ts_ns) * 1e-9
+        gi = int(np.argmin(np.abs(gt_t - t_s)))
+        if abs(gt_t[gi] - t_s) > 0.05:
+            continue
+        qw, qx, qy, qz = gt_quat[gi]
+        R_wb = np.asarray(se3.quat_to_rotmat(jnp.asarray([qw, qx, qy, qz])))
+        T_WB = np.eye(4)
+        T_WB[:3, :3] = R_wb
+        T_WB[:3, 3] = gt_pos[gi]
+        T_WC = T_WB @ T_BS  # camera-to-world
+        q, t = _invert_pose(T_WC[:3, :3], T_WC[:3, 3])
+        right_rel = cam1.get(ts_ns)
+        frames.append((
+            Frame(
+                timestamp=t_s, quat=q, trans=t,
+                rgb_path=str(mav / "cam0" / "data" / rel),
+            ),
+            str(mav / "cam1" / "data" / right_rel) if right_rel else None,
+        ))
+    return frames

@@ -94,3 +94,54 @@ def render(
         visible_anchor_mask=visible,
         num_instances=out["num_instances"],
     )
+
+
+def project_to_image(
+    state: AnchorState,
+    decoder_params: dict,
+    cam: dict,
+    width: int,
+    height: int,
+    model_config: ModelConfig,
+    raster_config: RasterConfig,
+):
+    """Debug 2D projection: per neural gaussian (mean2d, radius, color).
+
+    Equivalent of GaussianRenderer::gaussians_project2_image /
+    RasterizeGaussiansprojectCUDA (reference: src/gaussian_renderer.cpp:
+    336-423, rasterizer_impl.cu:571-585) used for the mapper's debug ellipse
+    overlays; here it is just the preprocess outputs, no device-to-host
+    copies needed until the caller asks.
+    """
+    from segs_slam_tpu.ops.rasterizer.preprocess import (
+        compute_cov3d,
+        preprocess_gaussians,
+    )
+
+    grid_scale3 = jnp.exp(state.scaling[:, :3])
+    rotation = state.rotation / jnp.maximum(
+        jnp.linalg.norm(state.rotation, axis=-1, keepdims=True), 1e-12
+    )
+    visible = visible_filter(
+        state.anchor, grid_scale3, rotation,
+        cam["world_view_transform"], cam["full_proj_transform"],
+        width, height, cam["tan_fovx"], cam["tan_fovy"],
+        config=raster_config, valid=state.active,
+    )
+    neural = generate_neural_gaussians(
+        state, decoder_params, cam["camera_center"], cam["pose7"], visible,
+        model_config,
+    )
+    cov3d = compute_cov3d(neural.scaling, neural.rotation, 1.0)
+    proj = preprocess_gaussians(
+        neural.xyz, cov3d, cam["world_view_transform"],
+        cam["full_proj_transform"], width, height,
+        cam["tan_fovx"], cam["tan_fovy"], raster_config,
+        valid_in=neural.valid,
+    )
+    return {
+        "points2d": proj.mean2d,
+        "radii": proj.radius,
+        "color": neural.color,
+        "valid": neural.valid & (proj.radius > 0),
+    }

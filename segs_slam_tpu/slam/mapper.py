@@ -65,7 +65,8 @@ class Mapper:
         self.camera = camera
         self.config = config
         self.initialized = False
-        self.stopped = False
+        self.stopped = False  # hard abort
+        self.producer_done = False  # tracker finished; keep training budget
         self.loop_closure_iteration = False
         self._depth_point_cache: list[np.ndarray] = []
         self._cached_frames = 0
@@ -177,9 +178,9 @@ class Mapper:
             print(f"[mapper] initialized with {n} anchors "
                   f"from {len(pts)} points, {len(scene.keyframes)} kfs")
 
-    # --- main loop (reference: run() :523-795) ---
+    # --- main loop (reference: run() :523-795: keeps training after SLAM
+    # shutdown until the iteration budget, then tail-optimizes) ---
     def run(self, max_iterations: int | None = None, idle_sleep: float = 0.002):
-        oc = self.trainer.opt_config
         while not self.stopped:
             if max_iterations is not None and self.trainer.iteration >= max_iterations:
                 break
@@ -190,6 +191,8 @@ class Mapper:
                     continue
                 self._apply_operation(op)
             if not self.initialized:
+                if self.producer_done and not self.queue.has_operation():
+                    break  # producer ended before enough keyframes arrived
                 continue
             m = self.trainer.train_iteration()
             if m is not None and self.trainer.iteration % 100 == 0:
@@ -198,6 +201,8 @@ class Mapper:
                      "loss": float(m["loss"]), "psnr": float(m["psnr"])}
                 )
             if op is None and m is None:
+                if self.producer_done and not self.queue.has_operation():
+                    break
                 time.sleep(idle_sleep)
 
         # PHASE 3: tail optimization
@@ -205,4 +210,9 @@ class Mapper:
             self.trainer.train_iteration()
 
     def signal_stop(self):
+        """Producer finished: training continues to the budget
+        (reference keeps optimizing after SLAM shutdown)."""
+        self.producer_done = True
+
+    def abort(self):
         self.stopped = True

@@ -83,3 +83,24 @@ def test_transform_points():
     out = np.asarray(se3.transform_points(T, pts))
     expected = (T[:3, :3] @ pts.T).T + T[:3, 3]
     np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_undistort_identity_and_mask():
+    import numpy as np
+    from segs_slam_tpu.core.undistort import UndistortMap
+
+    cam = _camera()
+    m = UndistortMap(cam)
+    assert m.is_identity
+    img = np.random.default_rng(0).uniform(size=(48, 64, 3)).astype(np.float32)
+    np.testing.assert_array_equal(m.remap(img), img)
+
+    cam2 = Camera(camera_id=1, width=64, height=48, fx=60.0, fy=60.0,
+                  cx=32.0, cy=24.0, dist_coeffs=(-0.3, 0.1, 0.0, 0.0, 0.0))
+    m2 = UndistortMap(cam2)
+    assert not m2.is_identity
+    out = m2.remap(img)
+    assert out.shape == img.shape
+    # the center is nearly unwarped; corners may be masked out
+    np.testing.assert_allclose(out[22:26, 30:34], img[22:26, 30:34], atol=0.15)
+    assert 0.3 < m2.mask.mean() <= 1.0
