@@ -51,76 +51,112 @@ NFEAT = 16
 F_X, F_Y, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_D = range(10)
 
 
-def _prefix_prod_lane(x):
-    """Inclusive prefix product along axis 1 (lanes) via log-step rolls
-    (Mosaic has no cumprod lowering; static sizes so the loop unrolls)."""
-    n = x.shape[1]
-    idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    shift = 1
-    while shift < n:
-        rolled = pltpu.roll(x, shift, axis=1)
-        x = x * jnp.where(idx >= shift, rolled, 1.0)
-        shift *= 2
-    return x
+def _tri_incl(c):
+    """[C, C] lower-triangular-ones (k <= j): inclusive prefix along lanes
+    when used as  out[p, j] = sum_k x[p, k] * tri[k, j]."""
+    rows = lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    return (rows <= cols).astype(jnp.float32)
 
 
-def _suffix_prod_lane(x):
-    n = x.shape[1]
-    idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    shift = 1
-    while shift < n:
-        rolled = pltpu.roll(x, n - shift, axis=1)  # roll by -shift
-        x = x * jnp.where(idx < n - shift, rolled, 1.0)
-        shift *= 2
-    return x
+def _tri_suffix(c):
+    """[C, C] (k >= j): inclusive suffix along lanes."""
+    rows = lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    return (rows >= cols).astype(jnp.float32)
 
 
-def _suffix_sum_lane(x):
-    n = x.shape[1]
-    idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    shift = 1
-    while shift < n:
-        rolled = pltpu.roll(x, n - shift, axis=1)  # roll by -shift
-        x = x + jnp.where(idx < n - shift, rolled, 0.0)
-        shift *= 2
-    return x
+def _matmul_scan(x, tri):
+    """Prefix/suffix SUM along axis 1 as one MXU matmul — cross-lane
+    Hillis-Steele rolls are expensive on the VPU; a [P,C]x[C,C] triangular
+    matmul is nearly free on the MXU."""
+    return lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _prefix_prod_lane(x, tri_incl):
+    """Inclusive prefix product along lanes via log-domain matmul scan.
+    x must be in (0, 1] (it is: 1 - alpha with alpha <= 0.99)."""
+    return jnp.exp(_matmul_scan(jnp.log(x), tri_incl))
+
+
+def _suffix_prod_lane(x, tri_suf):
+    return jnp.exp(_matmul_scan(jnp.log(x), tri_suf))
+
+
+def _suffix_sum_lane(x, tri_suf):
+    return _matmul_scan(x, tri_suf)
 
 
 def _pixel_coords(t, tx, tile, npix):
-    """Pixel centers of tile t as ([P, 1], [P, 1]) f32 (pixels on sublanes)."""
+    """Pixel centers of tile t as ([P, 1], [P, 1]) f32 (pixels on sublanes),
+    plus the tile origin. The kernel works in TILE-LOCAL coordinates: the
+    MXU quadratic-form expansion of the EWA exponent cancels catastrophically
+    in f32 with absolute pixel monomials (x^2 ~ 4e5), but is well-conditioned
+    with local ones (<= tile + radius)."""
     tile_y = t // tx
     tile_x = t - tile_y * tx
+    ox = (tile_x * tile).astype(jnp.float32)
+    oy = (tile_y * tile).astype(jnp.float32)
     p = lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
-    px = (tile_x * tile + p % tile).astype(jnp.float32)
-    py = (tile_y * tile + p // tile).astype(jnp.float32)
-    return px, py
+    px = (p % tile).astype(jnp.float32)
+    py = (p // tile).astype(jnp.float32)
+    return px, py, ox, oy
 
 
-def _chunk_alpha(chunk, px, py, lo, hi, base, cfg):
-    """Alpha for a [P, C] block given chunk features [NFEAT, C].
+def _pixel_basis(px, py):
+    """Quadratic pixel-monomial basis [P, 6]: (1, x, y, x^2, xy, y^2).
 
-    lo/hi bound the tile's own instances within the aligned window; masked
-    entries have alpha == 0. Returns (alpha, G, ok, dx, dy) all [P, C].
+    The EWA exponent is bilinear in pixel monomials and per-gaussian
+    coefficients, so the whole [P, C] `power` computation becomes ONE MXU
+    matmul instead of ~10 VPU passes."""
+    ones = jnp.ones_like(px)
+    return jnp.concatenate(
+        [ones, px, py, px * px, px * py, py * py], axis=1
+    )  # [P, 6]
+
+
+def _chunk_alpha_mxu(chunk, basis, ox, oy, lo, hi, base, cfg):
+    """Alpha for a [P, C] block via the MXU quadratic form (forward path).
+
+    power[p,i] = -0.5(a dx^2 + c dy^2) - b dx dy expanded in pixel monomials:
+      const: -0.5(a x_i^2 + c y_i^2) - b x_i y_i
+      px:     a x_i + b y_i          py:     c y_i + b x_i
+      px^2:  -a/2    px py: -b       py^2:  -c/2
     """
     c = chunk.shape[1]
-    x = chunk[F_X : F_X + 1, :]  # [1, C]
-    y = chunk[F_Y : F_Y + 1, :]
+    x = chunk[F_X : F_X + 1, :] - ox  # tile-local mean coords
+    y = chunk[F_Y : F_Y + 1, :] - oy
     ca = chunk[F_CA : F_CA + 1, :]
     cb = chunk[F_CB : F_CB + 1, :]
     cc = chunk[F_CC : F_CC + 1, :]
     op = chunk[F_OP : F_OP + 1, :]
 
-    dx = x - px  # [P, C] broadcast (d = mean - pixel, forward.cu:411)
-    dy = y - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    G = jnp.exp(power)
-    alpha = jnp.minimum(cfg.alpha_clamp, op * G)
+    coef = jnp.concatenate(
+        [
+            -0.5 * (ca * x * x + cc * y * y) - cb * x * y,
+            ca * x + cb * y,
+            cc * y + cb * x,
+            -0.5 * ca,
+            -cb,
+            -0.5 * cc,
+        ],
+        axis=0,
+    )  # [6, C]
+    power = lax.dot_general(
+        basis, coef, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [P, C]
+    opg = op * jnp.exp(power)  # unclamped op*G (the CUDA backward's basis)
+    alpha = jnp.minimum(cfg.alpha_clamp, opg)
 
     idx = lax.broadcasted_iota(jnp.int32, (1, c), 1) + base
     inside = (idx >= lo) & (idx < hi)
     ok = inside & (power <= 0.0) & (alpha >= cfg.alpha_min)
     alpha = jnp.where(ok, alpha, 0.0)
-    return alpha, G, ok, dx, dy
+    opg = jnp.where(ok, opg, 0.0)
+    return alpha, opg
 
 
 def _fwd_kernel(
@@ -151,22 +187,36 @@ def _fwd_kernel(
     lo = start - astart
     hi = stop - astart
 
-    px, py = _pixel_coords(t, tx, cfg.tile, npix)
+    px, py, ox, oy = _pixel_coords(t, tx, cfg.tile, npix)
+    basis = _pixel_basis(px, py)
+    tri_i = _tri_incl(ch)
+
+    def dma(ci):
+        off = pl.multiple_of(astart + ci * ch, ch)
+        return pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(off, ch)], chunk_vmem.at[ci % 2], dma_sem.at[ci % 2]
+        )
+
+    # Double-buffered: chunk ci's DMA is started by the previous iteration
+    # (or the warm-up); each iteration prefetches ci+1 before computing ci.
+    @pl.when(hi > 0)
+    def _():
+        dma(0).start()
 
     def body(ci, carry):
         T, C, D, nc = carry
         base = ci * ch
-        off = pl.multiple_of(astart + base, ch)
-        copy = pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(off, ch)], chunk_vmem, dma_sem
-        )
-        copy.start()
-        copy.wait()
-        chunk = chunk_vmem[:, :]
 
-        alpha, _G, _ok, _dx, _dy = _chunk_alpha(chunk, px, py, lo, hi, base, cfg)
+        @pl.when((ci + 1) * ch < hi)
+        def _():
+            dma(ci + 1).start()
+
+        dma(ci).wait()
+        chunk = chunk_vmem[ci % 2, :, :]
+
+        alpha, _ = _chunk_alpha_mxu(chunk, basis, ox, oy, lo, hi, base, cfg)
         om = 1.0 - alpha
-        cum = _prefix_prod_lane(om)  # [P, C] inclusive
+        cum = _prefix_prod_lane(om, tri_i)  # [P, C] inclusive
         test_t = T * cum
         accept = test_t >= cfg.transmittance_min
         t_before = T * cum / om  # exclusive prefix (om >= 1 - alpha_clamp)
@@ -203,7 +253,13 @@ def _fwd_kernel(
     C0 = jnp.zeros((3, npix), jnp.float32)
     D0 = jnp.zeros((npix, 1), jnp.float32)
     nc0 = jnp.zeros((npix, 1), jnp.int32)
-    _, (T, C, D, nc) = lax.while_loop(cond, step, (0, (T0, C0, D0, nc0)))
+    ci_end, (T, C, D, nc) = lax.while_loop(cond, step, (0, (T0, C0, D0, nc0)))
+
+    # Early exit leaves the prefetched DMA for ci_end in flight; consume it
+    # so the next grid step's semaphores start clean.
+    @pl.when(ci_end * ch < hi)
+    def _():
+        dma(ci_end).wait()
 
     bg = bg_ref[:, :]  # [3, 1]
     color_ref[0, :, :] = C + bg * T.reshape(1, npix)
@@ -244,7 +300,9 @@ def _bwd_kernel(
     lo = start - astart
     hi = stop - astart
 
-    px, py = _pixel_coords(t, tx, cfg.tile, npix)
+    px, py, ox, oy = _pixel_coords(t, tx, cfg.tile, npix)
+    basis = _pixel_basis(px, py)
+    tri_s = _tri_suffix(ch)
 
     dldc = dldc_ref[0, :, :]  # [3, P]
     final_t = final_t_ref[0, 0, :].reshape(npix, 1)
@@ -258,25 +316,38 @@ def _bwd_kernel(
     bound = jnp.minimum(lo + last, hi)
     nchunks = (bound + ch - 1) // ch
 
+    def dma_in(ci):
+        off = pl.multiple_of(astart + ci * ch, ch)
+        return pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(off, ch)], chunk_vmem.at[ci % 2],
+            in_sem.at[ci % 2],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(nchunks - 1).start()
+
     def body(step_i, carry):
         T_end, S = carry  # both [P, 1]
         ci = nchunks - 1 - step_i
         base = ci * ch
         off = pl.multiple_of(astart + base, ch)
-        copy = pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(off, ch)], chunk_vmem, in_sem
-        )
-        copy.start()
-        copy.wait()
-        chunk = chunk_vmem[:, :]
 
-        alpha, G, ok, dx, dy = _chunk_alpha(chunk, px, py, lo, hi, base, cfg)
+        @pl.when(ci > 0)
+        def _():
+            dma_in(ci - 1).start()
+
+        dma_in(ci).wait()
+        chunk = chunk_vmem[ci % 2, :, :]
+
+        alpha, opg = _chunk_alpha_mxu(chunk, basis, ox, oy, lo, hi, base, cfg)
         idx = lax.broadcasted_iota(jnp.int32, alpha.shape, 1) + base - lo
-        m = ok & (idx < ncontrib)  # accepted in forward
+        m = idx < ncontrib  # accepted in forward (alpha already 0 if !ok)
         alpha = jnp.where(m, alpha, 0.0)
+        opg = jnp.where(m, opg, 0.0)
         om = 1.0 - alpha
 
-        sp = _suffix_prod_lane(om)  # prod_{k>=i}(1-a_k)   [P, C]
+        sp = _suffix_prod_lane(om, tri_s)  # prod_{k>=i}(1-a_k) [P, C]
         t_before = T_end / sp
 
         colors = chunk[F_R : F_B + 1, :]  # [3, C]
@@ -286,32 +357,51 @@ def _bwd_kernel(
         )  # [P, C] = dL/dC . c_i
         w = alpha * t_before
         wg = w * g
-        suf = _suffix_sum_lane(wg)
+        suf = _suffix_sum_lane(wg, tri_s)
         s_i = (suf - wg) + S  # sum_{k>i} w_k g_k  (+ later chunks + bg term)
 
-        dalpha = jnp.where(m, t_before * g - s_i / om, 0.0)
+        # alpha > 0 implies the full forward accept; dalpha is zero wherever
+        # alpha was masked (G*dalpha and op*dalpha chain through zeros).
+        dalpha = jnp.where(alpha > 0.0, t_before * g - s_i / om, 0.0)
 
         op = chunk[F_OP : F_OP + 1, :]
         ca = chunk[F_CA : F_CA + 1, :]
         cb = chunk[F_CB : F_CB + 1, :]
         cc = chunk[F_CC : F_CC + 1, :]
-        dG = op * dalpha
-        dpower = dG * G
-        # Per-instance reductions over pixels (axis 0 / sublanes) -> [1, C].
-        dop = jnp.sum(jnp.where(m, G * dalpha, 0.0), axis=0, keepdims=True)
-        da = jnp.sum(-0.5 * dx * dx * dpower, axis=0, keepdims=True)
-        db = jnp.sum(-dx * dy * dpower, axis=0, keepdims=True)
-        dc = jnp.sum(-0.5 * dy * dy * dpower, axis=0, keepdims=True)
-        dmx = jnp.sum(-(ca * dx + cb * dy) * dpower, axis=0, keepdims=True)
-        dmy = jnp.sum(-(cc * dy + cb * dx) * dpower, axis=0, keepdims=True)
+        x = chunk[F_X : F_X + 1, :] - ox
+        y = chunk[F_Y : F_Y + 1, :] - oy
+        # dpower = op * G * dalpha with the UNCLAMPED op*G (the CUDA backward
+        # ignores the 0.99 clamp subgradient, backward.cu:399-557)
+        dpower = opg * dalpha
+        # One MXU matmul folds every per-instance pixel reduction:
+        # dcoef[k, i] = sum_p basis[p, k] * dpower[p, i]
+        dcoef = lax.dot_general(
+            basis, dpower, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [6, C]
+        d0 = dcoef[0:1, :]
+        d1 = dcoef[1:2, :]
+        d2 = dcoef[2:3, :]
+        d3 = dcoef[3:4, :]
+        d4 = dcoef[4:5, :]
+        d5 = dcoef[5:6, :]
+        # chain rule through the coef rows (see _chunk_alpha_mxu)
+        da = -0.5 * x * x * d0 + x * d1 - 0.5 * d3
+        db = -x * y * d0 + y * d1 + x * d2 - d4
+        dc = -0.5 * y * y * d0 + y * d2 - 0.5 * d5
+        dmx = (-ca * x - cb * y) * d0 + ca * d1 + cb * d2
+        dmy = (-cc * y - cb * x) * d0 + cb * d1 + cc * d2
+        # dop = sum_p G dalpha = (sum_p dpower) / op
+        dop = jnp.where(jnp.abs(op) > 1e-20, d0 / op, 0.0)
         dcol = lax.dot_general(
             dldc, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [3, C]
+        ddep = jnp.zeros((1, alpha.shape[1]), jnp.float32)
 
-        zeros = jnp.zeros((NFEAT - 9, alpha.shape[1]), jnp.float32)
+        zeros = jnp.zeros((NFEAT - 10, alpha.shape[1]), jnp.float32)
         grad = jnp.concatenate(
-            [dmx, dmy, da, db, dc, dop, dcol, zeros], axis=0
+            [dmx, dmy, da, db, dc, dop, dcol, ddep, zeros], axis=0
         )  # [NFEAT, C]
 
         # Accumulate: boundary chunks are shared with neighboring tiles.
@@ -409,8 +499,8 @@ def _binned_blend_fwd(feats, aux, bg, static):
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bg (3, 1)
     ]
     scratch = [
-        pltpu.VMEM((NFEAT, cfg.chunk), jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((2, NFEAT, cfg.chunk), jnp.float32),  # double buffer
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     call = _pallas_call(kern, static, out_shapes, out_specs, in_specs, scratch)
     bg_col = bg.reshape(3, 1)
@@ -466,9 +556,9 @@ def _binned_blend_bwd(static, residuals, cotangents):
         pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),  # n_contrib
     ]
     scratch = [
+        pltpu.VMEM((2, NFEAT, cfg.chunk), jnp.float32),  # double buffer
         pltpu.VMEM((NFEAT, cfg.chunk), jnp.float32),
-        pltpu.VMEM((NFEAT, cfg.chunk), jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA(()),
     ]

@@ -96,6 +96,13 @@ def _fft2_shifted(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.fft.fftshift(f)
 
 
+def _safe_abs(z: jnp.ndarray) -> jnp.ndarray:
+    """|z| with a finite gradient at z == 0 (jnp.abs of a zero complex bin
+    has gradient z/|z| = nan, which poisons the whole backward — exactly-zero
+    spectrum bins DO occur on masked images)."""
+    return jnp.sqrt(z.real**2 + z.imag**2 + 1e-20)
+
+
 def high_frequency_loss(
     img1: jnp.ndarray,
     img2: jnp.ndarray,
@@ -114,7 +121,7 @@ def high_frequency_loss(
         m = jnp.asarray(mask)
         f1 = f1 * m
         f2 = f2 * m
-    return jnp.mean(jnp.abs(jnp.abs(f1) - jnp.abs(f2)))
+    return jnp.mean(jnp.abs(_safe_abs(f1) - _safe_abs(f2)))
 
 
 def low_freq_loss(
@@ -138,7 +145,7 @@ def low_freq_loss(
     f1 = f1 * m
     f2 = f2 * m
     norm = float(h * w * c)
-    loss_la = jnp.sum(jnp.abs(jnp.abs(f1) - jnp.abs(f2))) / norm
+    loss_la = jnp.sum(jnp.abs(_safe_abs(f1) - _safe_abs(f2))) / norm
     loss_lp = jnp.sum(jnp.abs(jnp.angle(f1) - jnp.angle(f2))) / norm
     return loss_la + loss_lp
 

@@ -142,24 +142,26 @@ def make_train_step(
             loss = (1.0 - lam) * l1 + lam * (1.0 - ssim_v) + 0.01 * scaling_reg
 
             if opt_config.use_frequency_regularization:
-                w_low = jnp.where(
-                    it < opt_config.frequency_regulization_until,
-                    opt_config.lambda_frequency_low,
-                    0.0,
-                )
-                w_high = jnp.where(
-                    (it < opt_config.frequency_regulization_until)
-                    & (it > opt_config.high_frequency_regularization_start),
-                    opt_config.lambda_frequency_high,
-                    0.0,
+                # lax.cond so the FFTs (and their grads) only run inside the
+                # schedule window — both faster and safe: an always-computed
+                # branch at zero weight still back-propagates its NaNs.
+                in_low = it < opt_config.frequency_regulization_until
+                in_high = in_low & (
+                    it > opt_config.high_frequency_regularization_start
                 )
                 if opt_config.lambda_frequency_low != 0.0:
-                    loss = loss + w_low * losses.low_freq_loss(img_m, gt_m)
+                    loss = loss + opt_config.lambda_frequency_low * jax.lax.cond(
+                        in_low,
+                        lambda: losses.low_freq_loss(img_m, gt_m),
+                        lambda: jnp.zeros(()),
+                    )
                 if opt_config.use_multi_resolution:
-                    fl = losses.multi_scale_loss(img_m, gt_m, freq_scales)
+                    fl_fn = lambda: losses.multi_scale_loss(img_m, gt_m, freq_scales)
                 else:
-                    fl = losses.high_frequency_loss(img_m, gt_m)
-                loss = loss + w_high * fl
+                    fl_fn = lambda: losses.high_frequency_loss(img_m, gt_m)
+                loss = loss + opt_config.lambda_frequency_high * jax.lax.cond(
+                    in_high, fl_fn, lambda: jnp.zeros(())
+                )
 
             aux = {
                 "l1": l1,

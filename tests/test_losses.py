@@ -92,3 +92,16 @@ def test_psnr_gs_variant():
     mse = np.mean((np.asarray(a) - np.asarray(b)).reshape(3, -1) ** 2, axis=1)
     expected = np.mean(20 * np.log10(1.0 / np.sqrt(mse)))
     np.testing.assert_allclose(v, expected, rtol=1e-5)
+
+
+def test_frequency_loss_gradient_finite_on_zero_images():
+    """Zero spectrum bins used to give d|F|/dF = nan and poison training."""
+    import jax
+
+    zero = jnp.zeros((3, 16, 16))
+    b = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (3, 16, 16)),
+                    jnp.float32)
+    g = jax.grad(lambda x: losses.high_frequency_loss(x, b))(zero)
+    assert np.isfinite(np.asarray(g)).all()
+    g2 = jax.grad(lambda x: losses.multi_scale_loss(x, b, (1.0, 0.5)))(zero)
+    assert np.isfinite(np.asarray(g2)).all()
