@@ -24,7 +24,7 @@ frames = datasets.load_replica("/root/data/synth_room")
 
 mc = ModelConfig(capacity=16384)
 oc = OptimizationConfig(iterations=3000)
-rc = RasterConfig(tile=16, compact=32768, kmax=8, chunk=256)
+rc = RasterConfig(tile=16, compact=16384, kmax=32, chunk=256)
 trainer = Trainer(mc, oc, rc, width=W, height=H)
 trainer.scene.add_camera(cam)
 queue = MappingQueue()
@@ -69,6 +69,9 @@ while it < 600:
         if not mapper.initialized:
             mapper._try_initialize(op)
             continue
+        import os
+        if os.environ.get("NO_INSERT"):
+            op.points_xyz = None
         mapper._apply_operation(op)
         if check(f"after op @ iter {it}"):
             break

@@ -130,7 +130,26 @@ def insert_points(
     if n_new == 0:
         return state, 0
 
-    dist2 = np.maximum(np.asarray(mean_knn_sq_dist(jnp.asarray(fused))), 1e-7)
+    # 3-NN distances for the new cloud. Divergence from the reference (which
+    # measures distances within the new batch only, src/gaussian_model.cpp
+    # :443-594): sparse incremental batches (e.g. 300 SLAM map points) would
+    # get meter-scale gaussians that veil the image; including the EXISTING
+    # active anchors as neighbor candidates gives scales consistent with the
+    # map density. Shapes are padded to static buckets so the knn jit
+    # compiles once per capacity.
+    bucket = 1 << max(10, (n_new - 1).bit_length())
+    total = bucket + state.capacity
+    pts_pad = np.zeros((total, 3), np.float32)
+    valid = np.zeros((total,), bool)
+    pts_pad[:n_new] = fused
+    valid[:n_new] = True
+    if n_active > 0:
+        pts_pad[bucket : bucket + n_active] = np.asarray(state.anchor[:n_active])
+        valid[bucket : bucket + n_active] = True
+    dist2_all = np.asarray(
+        mean_knn_sq_dist(jnp.asarray(pts_pad), jnp.asarray(valid))
+    )
+    dist2 = np.maximum(dist2_all[:n_new], 1e-7)
     scales = np.log(np.sqrt(dist2)).astype(np.float32)[:, None].repeat(6, axis=1)
 
     sl = slice(n_active, n_active + n_new)
