@@ -63,7 +63,7 @@ def check(tag):
 
 
 it = 0
-while it < 600:
+while it < 3000:
     op = queue.pop(timeout=0.01)
     if op is not None:
         if not mapper.initialized:

@@ -143,6 +143,8 @@ def main(argv=None):
     p.add_argument("--downscale", type=int, default=1)
     p.add_argument("--fps", type=float, default=0.0,
                   help="pace the frame feed (0 = free-run)")
+    p.add_argument("--min-init-kfs", type=int, default=10)
+    p.add_argument("--debug-ckpt-at", type=int, default=0)
     # intrinsic overrides (e.g. synthetic datasets)
     p.add_argument("--fx", type=float, default=0)
     p.add_argument("--fy", type=float, default=0)
@@ -184,7 +186,9 @@ def main(argv=None):
     trainer = Trainer(mc, oc, rc, width=cam.width, height=cam.height)
     trainer.scene.add_camera(cam)
     queue = MappingQueue()
-    mapper = Mapper(queue, trainer, cam, MapperConfig(min_num_initial_map_kfs=5))
+    mapper = Mapper(queue, trainer, cam,
+                    MapperConfig(min_num_initial_map_kfs=args.min_init_kfs))
+    mapper.debug_ckpt_at = args.debug_ckpt_at
 
     tracking_times: list[float] = []
     stop_event = threading.Event()

@@ -71,6 +71,8 @@ class Mapper:
         self._depth_point_cache: list[np.ndarray] = []
         self._cached_frames = 0
         self.metrics_history: list[dict] = []
+        self.debug_ckpt_at = 0
+        self.debug_ckpt_path = "/tmp/mapper_debug_ckpt"
 
     # --- keyframe ingestion (reference: handleNewKeyframe :1312-1421) ---
     def _handle_new_keyframe(self, kfd) -> None:
@@ -195,11 +197,27 @@ class Mapper:
                     break  # producer ended before enough keyframes arrived
                 continue
             m = self.trainer.train_iteration()
+            if (self.debug_ckpt_at and
+                    self.trainer.iteration == self.debug_ckpt_at):
+                from segs_slam_tpu.io.checkpoint import save_train_state
+
+                save_train_state(self.debug_ckpt_path, self.trainer.state)
+                print(f"[mapper] saved debug ckpt at "
+                      f"{self.trainer.iteration}", flush=True)
             if m is not None and self.trainer.iteration % 100 == 0:
+                loss = float(m["loss"])
                 self.metrics_history.append(
                     {"iter": self.trainer.iteration,
-                     "loss": float(m["loss"]), "psnr": float(m["psnr"])}
+                     "loss": loss, "psnr": float(m["psnr"])}
                 )
+                nfg = int(m.get("nonfinite_grads", 0))
+                anchor_sum = float(
+                    np.sum(np.asarray(self.trainer.state.anchors.anchor))
+                )
+                if nfg or not (np.isfinite(loss) and np.isfinite(anchor_sum)):
+                    print(f"[mapper] iter {self.trainer.iteration}: "
+                          f"nonfinite_grads={nfg} loss={loss} "
+                          f"anchor_sum={anchor_sum}", flush=True)
             if op is None and m is None:
                 if self.producer_done and not self.queue.has_operation():
                     break

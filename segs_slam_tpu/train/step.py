@@ -176,6 +176,19 @@ def make_train_step(
         )(params, mean2d_zero)
         out = aux["out"]
 
+        # Gradient sanitization (failure hardening, SURVEY §5.3): a single
+        # non-finite gradient would poison the Adam second moments forever
+        # (inf nu silently freezes the row; nan kills it). Zero them and
+        # surface the count so regressions are visible in metrics.
+        def _clean(g):
+            return jnp.where(jnp.isfinite(g), g, 0.0)
+
+        nonfinite = sum(
+            jnp.sum(~jnp.isfinite(g)) for g in jax.tree.leaves(grads)
+        ) + jnp.sum(~jnp.isfinite(mean2d_grad))
+        grads = jax.tree.map(_clean, grads)
+        mean2d_grad = _clean(mean2d_grad)
+
         # --- densification statistics (training_statis,
         # src/gaussian_model.cpp:1459-1503), gated on the stats window ---
         in_window = (it > opt_config.start_stat) & (it < opt_config.update_until)
@@ -236,6 +249,7 @@ def make_train_step(
             "ssim": aux["ssim"],
             "num_instances": out.num_instances,
             "n_active": ts.anchors.num_active(),
+            "nonfinite_grads": nonfinite,
         }
         return new_ts, metrics
 
