@@ -62,6 +62,10 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     pad = window_size // 2
 
     def conv(x):
+        # Precision.HIGHEST is load-bearing: TPU convs default to bf16
+        # multiplies, and the E[x^2] - mu^2 cancellation below then has
+        # absolute error ~1e-3 — larger than C2=9e-4 — which drives window
+        # variances negative and makes ssim_map (and its gradient) unbounded.
         return lax.conv_general_dilated(
             x[None],  # (1, C, H, W)
             kernel,
@@ -69,6 +73,7 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
             padding=[(pad, pad), (pad, pad)],
             feature_group_count=c,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=lax.Precision.HIGHEST,
         )[0]
 
     mu1 = conv(img1)
