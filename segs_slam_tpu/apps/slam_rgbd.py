@@ -43,6 +43,10 @@ DATASET_DEFAULTS = {
                     depth_scale=6553.5),
     "tum": dict(fx=517.306408, fy=516.469215, cx=318.643040, cy=255.313989,
                 w=640, h=480, depth_scale=5000.0),
+    # ScanNet exports per-scene intrinsics (intrinsic/intrinsic_color.txt) —
+    # read at load time; these are scene0000-style fallbacks.
+    "scannet": dict(fx=1169.62, fy=1167.11, cx=646.295, cy=489.927,
+                    w=1296, h=968, depth_scale=1000.0),
 }
 
 
@@ -130,7 +134,8 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--dataset", choices=["replica", "tum"], required=True)
+    p.add_argument("--dataset", choices=["replica", "tum", "scannet"],
+                   required=True)
     p.add_argument("--path", required=True)
     p.add_argument("--out", default="results/run")
     p.add_argument("--tracker", choices=["native", "oracle"], default="native")
@@ -155,6 +160,16 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     d = dict(DATASET_DEFAULTS[args.dataset])
+    if args.dataset == "scannet":
+        intr = datasets.load_scannet_intrinsics(args.path)
+        if intr:
+            d.update(intr)
+        # the intrinsic export carries no image size; it is always calibrated
+        # for the exported color resolution, so adopt the first frame's size
+        probe_frames = datasets.load_scannet(args.path)
+        if probe_frames:
+            ph, pw = probe_frames[0].load_rgb().shape[:2]
+            d["w"], d["h"] = pw, ph
     if args.width:
         d["w"] = args.width
     if args.height:
@@ -174,11 +189,22 @@ def main(argv=None):
 
     if args.dataset == "replica":
         frames = datasets.load_replica(args.path)
+    elif args.dataset == "scannet":
+        frames = datasets.load_scannet(args.path)
     else:
         frames = datasets.load_tum_rgbd(args.path)
     if args.max_frames:
         frames = frames[: args.max_frames]
     print(f"{len(frames)} frames")
+    if frames:
+        probe = frames[0].load_rgb()
+        if probe.shape[:2] != (cam.height, cam.width):
+            raise SystemExit(
+                f"dataset images are {probe.shape[1]}x{probe.shape[0]} but the "
+                f"camera is configured {cam.width}x{cam.height} (the "
+                f"'{args.dataset}' preset). Pass --width/--height/--fx/--fy/"
+                f"--cx/--cy to match the dataset."
+            )
 
     mc = ModelConfig(capacity=args.capacity)
     oc = OptimizationConfig(iterations=args.iters_budget)

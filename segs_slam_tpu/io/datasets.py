@@ -133,6 +133,54 @@ def load_tum_rgbd(seq_dir: str | Path, depth_scale: float = 5000.0) -> list[Fram
     return frames
 
 
+def load_scannet(seq_dir: str | Path, depth_scale: float = 1000.0) -> list[Frame]:
+    """ScanNet sens-export layout: color/<i>.jpg, depth/<i>.png (uint16 mm),
+    pose/<i>.txt (4x4 camera-to-world) (reference: examples/scannet_rgbd.cpp
+    :89-103 reads color/ + depth/ pairs; poses come from the exported pose/
+    directory, which the reference's evaluation consumes as ground truth).
+    Frames with invalid exported poses (inf rows) are skipped, matching the
+    standard ScanNet convention."""
+    seq_dir = Path(seq_dir)
+    color_dir = seq_dir / "color"
+
+    def frame_key(p: Path):
+        try:
+            return (0, int(p.stem))
+        except ValueError:
+            return (1, p.stem)
+
+    frames = []
+    for rgb in sorted(color_dir.glob("*.jpg"), key=frame_key):
+        depth = seq_dir / "depth" / f"{rgb.stem}.png"
+        pose = seq_dir / "pose" / f"{rgb.stem}.txt"
+        if not pose.exists():
+            continue
+        T = np.loadtxt(pose).reshape(4, 4)
+        if not np.isfinite(T).all():
+            continue
+        q, t = _invert_pose(T[:3, :3], T[:3, 3])
+        frames.append(
+            Frame(
+                timestamp=float(int(rgb.stem)) if rgb.stem.isdigit() else 0.0,
+                quat=q,
+                trans=t,
+                rgb_path=str(rgb),
+                depth_path=str(depth) if depth.exists() else None,
+            )
+        )
+    return frames
+
+
+def load_scannet_intrinsics(seq_dir: str | Path) -> dict | None:
+    """Read intrinsic/intrinsic_color.txt (4x4 K matrix) if present."""
+    p = Path(seq_dir) / "intrinsic" / "intrinsic_color.txt"
+    if not p.exists():
+        return None
+    K = np.loadtxt(p).reshape(4, 4)
+    return dict(fx=float(K[0, 0]), fy=float(K[1, 1]),
+                cx=float(K[0, 2]), cy=float(K[1, 2]))
+
+
 def load_euroc_stereo(seq_dir: str | Path) -> list[tuple["Frame", str]]:
     """EuRoC MAV stereo: mav0/cam0 + mav0/cam1 image streams and the
     ground-truth state estimate, associated by timestamp (reference:

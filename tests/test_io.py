@@ -76,3 +76,42 @@ def test_colmap_binary_readers(tmp_path):
     xyz, rgb = read_points3d_binary(tmp_path / "points3D.bin")
     np.testing.assert_allclose(xyz, [[1, 2, 3], [-1, 0, 5]])
     assert rgb[0, 0] == 255
+
+
+def test_load_scannet(tmp_path):
+    from PIL import Image
+
+    from segs_slam_tpu.io import datasets
+
+    (tmp_path / "color").mkdir()
+    (tmp_path / "depth").mkdir()
+    (tmp_path / "pose").mkdir()
+    (tmp_path / "intrinsic").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(
+            (rng.uniform(size=(8, 12, 3)) * 255).astype(np.uint8)
+        ).save(tmp_path / "color" / f"{i}.jpg")
+        Image.fromarray(
+            (rng.uniform(0, 4000, size=(8, 12))).astype(np.uint16)
+        ).save(tmp_path / "depth" / f"{i}.png")
+        T = np.eye(4)
+        T[:3, 3] = [i * 0.1, 0, 0]
+        if i == 1:  # invalid exported pose must be skipped
+            T[0, 0] = np.inf
+        np.savetxt(tmp_path / "pose" / f"{i}.txt", T)
+    K = np.eye(4)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 100.0, 101.0, 6.0, 4.0
+    np.savetxt(tmp_path / "intrinsic" / "intrinsic_color.txt", K)
+
+    frames = datasets.load_scannet(tmp_path)
+    assert [f.timestamp for f in frames] == [0.0, 2.0]
+    # identity c2w -> identity w2c
+    np.testing.assert_allclose(frames[0].quat, [1, 0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(frames[1].trans, [-0.2, 0, 0], atol=1e-6)
+    assert frames[0].load_rgb().shape == (8, 12, 3)
+    d = frames[0].load_depth(1000.0)
+    assert d.shape == (8, 12) and d.max() <= 4.0
+
+    intr = datasets.load_scannet_intrinsics(tmp_path)
+    assert intr == dict(fx=100.0, fy=101.0, cx=6.0, cy=4.0)
