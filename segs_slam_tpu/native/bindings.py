@@ -64,6 +64,12 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
     ]
+    lib.sg_tracker_track_mono.restype = ctypes.c_int
+    lib.sg_tracker_track_mono.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     lib.sg_tracker_keyframe_points.restype = ctypes.c_int
     lib.sg_tracker_keyframe_points.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
@@ -166,6 +172,20 @@ class NativeTracker:
             self._h,
             gray_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             depth_f32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            w, h, pose, ctypes.byref(n_inl),
+        )
+        return status, np.array(pose[:7]), n_inl.value
+
+    def track_mono(self, gray_u8: np.ndarray):
+        """Monocular tracking: (status, pose7, n_inliers). status -1 while
+        the two-view bootstrap gathers parallax; map scale is arbitrary."""
+        h, w = gray_u8.shape
+        gray_u8 = np.ascontiguousarray(gray_u8, np.uint8)
+        pose = (ctypes.c_double * 7)()
+        n_inl = ctypes.c_int()
+        status = self._lib.sg_tracker_track_mono(
+            self._h,
+            gray_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             w, h, pose, ctypes.byref(n_inl),
         )
         return status, np.array(pose[:7]), n_inl.value

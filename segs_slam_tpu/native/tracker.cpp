@@ -13,6 +13,8 @@
 //
 // C ABI for ctypes; all matrices row-major float64/float32.
 
+#include <algorithm>
+#include <cmath>
 #include <cstring>
 #include <deque>
 #include <memory>
@@ -33,11 +35,35 @@ struct KeyframeRef {
   std::vector<cv::Point2f> px;         // pixels per descriptor row
   cv::Mat R_wc;
   cv::Mat t_wc;
+  // mono: the FULL feature set (not just the 3D-backed subset) so the next
+  // keyframe can triangulate fresh map points against this one
+  std::vector<cv::KeyPoint> all_kps;
+  cv::Mat all_desc;
+};
+
+
+// --- monocular map structures (persistent points for local BA) ---
+
+struct MonoPoint {
+  cv::Mat X;     // 3x1 CV_64F, world
+  cv::Mat desc;  // 1xD, most recent view
+  std::vector<std::pair<int, cv::Point2f>> obs;  // (kf_id, pixel)
+  int last_kf = -1;
+  int last_seen_frame = 0;  // last frame where this point was a PnP inlier
+  bool dead = false;
+};
+
+struct MonoKF {
+  int id;
+  cv::Mat R, t;  // world-to-camera
+  std::vector<cv::KeyPoint> kps;
+  cv::Mat desc;
 };
 
 struct Tracker {
   cv::Ptr<cv::ORB> orb;
   cv::Ptr<cv::BFMatcher> matcher;
+  cv::Ptr<cv::BFMatcher> matcher_knn;  // no crossCheck; ratio-test fallback
   double fx, fy, cx, cy;
   double min_depth = 0.05, max_depth = 40.0;
   // keyframe policy
@@ -49,6 +75,17 @@ struct Tracker {
   std::deque<KeyframeRef> kfs;
   cv::Mat R_cur, t_cur;  // world-to-camera of the latest tracked frame
   int frames_since_kf = 0;
+
+  // mono state
+  bool mono_initialized = false;
+  std::vector<cv::KeyPoint> init_kps;  // bootstrap reference frame
+  cv::Mat init_desc;
+  double mono_map_depth = 2.0;  // median depth the init map is scaled to
+  int reject_streak = 0;        // consecutive pose-jump rejections
+  std::vector<MonoPoint> mpts;  // persistent mono map points
+  std::deque<MonoKF> mkfs;      // mono keyframe window (full features)
+  int next_kf_id = 0;
+  int mono_frame = 0;
 };
 
 double rotation_angle_deg(const cv::Mat& R) {
@@ -94,6 +131,220 @@ void quat_from_R(const cv::Mat& R, double* q) {
   q[3] = qz;
 }
 
+// Triangulate crossCheck-matched features between the previous mono
+// keyframe and the current frame, gated on cheirality, two-view reprojection
+// (2 px) and parallax (1 deg). Returns current-frame rows, world points, and
+// the matching previous-keyframe pixels (for the second BA observation).
+void triangulate_new_points_mono(const cv::Mat& K, const MonoKF& last,
+                                 const std::vector<cv::KeyPoint>& kps,
+                                 const cv::Mat& desc, const cv::Mat& R,
+                                 const cv::Mat& t, cv::BFMatcher* matcher,
+                                 std::vector<int>* rows_out,
+                                 std::vector<cv::Point3f>* world_out,
+                                 std::vector<cv::Point2f>* px_prev_out) {
+  if (last.desc.empty() || desc.empty()) return;
+  std::vector<cv::DMatch> matches;
+  matcher->match(last.desc, desc, matches);
+  if (matches.size() < 8) return;
+
+  cv::Mat Pl(3, 4, CV_64F), Pc(3, 4, CV_64F);
+  cv::hconcat(last.R, last.t, Pl);
+  Pl = K * Pl;
+  cv::hconcat(R, t, Pc);
+  Pc = K * Pc;
+
+  std::vector<cv::Point2f> p0, p1;
+  std::vector<int> rows;
+  for (const auto& m : matches) {
+    p0.push_back(last.kps[m.queryIdx].pt);
+    p1.push_back(kps[m.trainIdx].pt);
+    rows.push_back(m.trainIdx);
+  }
+  cv::Mat X4;
+  cv::triangulatePoints(Pl, Pc, p0, p1, X4);
+
+  cv::Mat c_last = -last.R.t() * last.t;
+  cv::Mat c_cur = -R.t() * t;
+  for (int i = 0; i < X4.cols; ++i) {
+    double wq = X4.at<float>(3, i);
+    if (std::abs(wq) < 1e-12) continue;
+    cv::Mat X = (cv::Mat_<double>(3, 1) << X4.at<float>(0, i) / wq,
+                 X4.at<float>(1, i) / wq, X4.at<float>(2, i) / wq);
+    cv::Mat xl = last.R * X + last.t;
+    cv::Mat xc = R * X + t;
+    double zl = xl.at<double>(2), zc = xc.at<double>(2);
+    if (zl <= 0.05 || zc <= 0.05) continue;
+    double ul = K.at<double>(0, 0) * xl.at<double>(0) / zl + K.at<double>(0, 2);
+    double vl = K.at<double>(1, 1) * xl.at<double>(1) / zl + K.at<double>(1, 2);
+    double uc = K.at<double>(0, 0) * xc.at<double>(0) / zc + K.at<double>(0, 2);
+    double vc = K.at<double>(1, 1) * xc.at<double>(1) / zc + K.at<double>(1, 2);
+    if (std::hypot(ul - p0[i].x, vl - p0[i].y) > 2.0) continue;
+    if (std::hypot(uc - p1[i].x, vc - p1[i].y) > 2.0) continue;
+    cv::Mat r0 = X - c_last, r1 = X - c_cur;
+    double cosp = r0.dot(r1) / (cv::norm(r0) * cv::norm(r1) + 1e-12);
+    if (cosp > std::cos(1.0 * CV_PI / 180.0)) continue;
+    rows_out->push_back(rows[i]);
+    world_out->push_back(cv::Point3f(static_cast<float>(X.at<double>(0)),
+                                     static_cast<float>(X.at<double>(1)),
+                                     static_cast<float>(X.at<double>(2))));
+    px_prev_out->push_back(p0[i]);
+  }
+}
+
+// Local bundle adjustment over the mono keyframe window: Gauss-Newton with
+// point marginalization (Schur complement), Huber-weighted reprojection
+// residuals, the two OLDEST window poses held fixed as the gauge (freezing
+// two poses pins both the similarity frame and the scale, which a
+// single-fixed-pose mono BA leaves free to collapse). The dense Schur system
+// is at most 6*(window-2) = 18x18 — trivially solvable; the cost per
+// iteration is linear in the observation count.
+void mono_local_ba(Tracker* T, const cv::Mat& K, int iters = 8) {
+  const int nc = static_cast<int>(T->mkfs.size());
+  const int nfix = 2;
+  const int nfree = nc - nfix;
+  if (nfree < 1) return;
+  std::vector<int> pts;
+  for (size_t j = 0; j < T->mpts.size(); ++j)
+    if (!T->mpts[j].dead && T->mpts[j].obs.size() >= 2)
+      pts.push_back(static_cast<int>(j));
+  if (pts.empty()) return;
+
+  const double fx = K.at<double>(0, 0), fy = K.at<double>(1, 1);
+  const double cx = K.at<double>(0, 2), cy = K.at<double>(1, 2);
+  const double huber = 2.5;
+
+  std::vector<int> id2ci(T->next_kf_id, -1);
+  for (int i = 0; i < nc; ++i) id2ci[T->mkfs[i].id] = i;
+
+  auto mean_err = [&]() {
+    double sum = 0;
+    int n = 0;
+    for (int j : pts) {
+      for (const auto& o : T->mpts[j].obs) {
+        int ci = (o.first < static_cast<int>(id2ci.size())) ? id2ci[o.first]
+                                                            : -1;
+        if (ci < 0) continue;
+        const MonoKF& kf = T->mkfs[ci];
+        cv::Mat Xc = kf.R * T->mpts[j].X + kf.t;
+        double z = Xc.at<double>(2);
+        if (z < 1e-6) continue;
+        sum += std::hypot(fx * Xc.at<double>(0) / z + cx - o.second.x,
+                          fy * Xc.at<double>(1) / z + cy - o.second.y);
+        n++;
+      }
+    }
+    return n ? sum / n : 0.0;
+  };
+  double err0 = getenv("SG_TRACKER_DEBUG") ? mean_err() : 0.0;
+
+  for (int it = 0; it < iters; ++it) {
+    cv::Mat S = cv::Mat::eye(6 * nfree, 6 * nfree, CV_64F) * 1e-6;
+    cv::Mat rhs = cv::Mat::zeros(6 * nfree, 1, CV_64F);
+    struct PDat {
+      cv::Mat Binv, gp;
+      std::vector<int> cams;      // free cam indices
+      std::vector<cv::Mat> C;     // 6x3 per free cam
+    };
+    std::vector<PDat> pd(pts.size());
+
+    for (size_t pj = 0; pj < pts.size(); ++pj) {
+      auto& mp = T->mpts[pts[pj]];
+      cv::Mat B = cv::Mat::eye(3, 3, CV_64F) * 1e-6;
+      cv::Mat gp = cv::Mat::zeros(3, 1, CV_64F);
+      auto& dat = pd[pj];
+      for (const auto& o : mp.obs) {
+        int ci = (o.first < static_cast<int>(id2ci.size()))
+                     ? id2ci[o.first] : -1;
+        if (ci < 0) continue;
+        const MonoKF& kf = T->mkfs[ci];
+        cv::Mat Xc = kf.R * mp.X + kf.t;
+        double x = Xc.at<double>(0), y = Xc.at<double>(1),
+               z = Xc.at<double>(2);
+        if (z < 1e-6) continue;
+        cv::Mat r = (cv::Mat_<double>(2, 1) << fx * x / z + cx - o.second.x,
+                     fy * y / z + cy - o.second.y);
+        double e = cv::norm(r);
+        double wgt = (e <= huber) ? 1.0 : huber / e;
+        cv::Mat Jpi = (cv::Mat_<double>(2, 3) << fx / z, 0, -fx * x / (z * z),
+                       0, fy / z, -fy * y / (z * z));
+        cv::Mat Jp = Jpi * kf.R;  // 2x3 wrt point
+        B += wgt * Jp.t() * Jp;
+        gp -= wgt * Jp.t() * r;
+        int fi = ci - nfix;
+        if (fi >= 0) {
+          // left-increment se3: dXc/d(dtheta) = -[Xc]x, dXc/d(dt) = I
+          cv::Mat Jc(2, 6, CV_64F);
+          cv::Mat skew = (cv::Mat_<double>(3, 3) << 0, -z, y, z, 0, -x,
+                          -y, x, 0);
+          cv::Mat Jth = Jpi * (-skew);
+          Jth.copyTo(Jc.colRange(0, 3));
+          Jpi.copyTo(Jc.colRange(3, 6));
+          S(cv::Rect(6 * fi, 6 * fi, 6, 6)) += wgt * Jc.t() * Jc;
+          rhs.rowRange(6 * fi, 6 * fi + 6) -= wgt * Jc.t() * r;
+          dat.cams.push_back(fi);
+          dat.C.push_back(wgt * Jc.t() * Jp);  // 6x3
+        }
+      }
+      dat.Binv = B.inv();
+      dat.gp = gp;
+      // Schur: S -= C Binv C^T ; rhs -= C Binv gp
+      for (size_t a = 0; a < dat.cams.size(); ++a) {
+        cv::Mat CaBinv = dat.C[a] * dat.Binv;
+        rhs.rowRange(6 * dat.cams[a], 6 * dat.cams[a] + 6) -= CaBinv * gp;
+        for (size_t b = 0; b < dat.cams.size(); ++b) {
+          S(cv::Rect(6 * dat.cams[b], 6 * dat.cams[a], 6, 6)) -=
+              CaBinv * dat.C[b].t();
+        }
+      }
+    }
+
+    cv::Mat dc;
+    if (!cv::solve(S, rhs, dc, cv::DECOMP_CHOLESKY)) break;
+    // update free cams
+    for (int fi = 0; fi < nfree; ++fi) {
+      cv::Mat dth = dc.rowRange(6 * fi, 6 * fi + 3);
+      cv::Mat dt = dc.rowRange(6 * fi + 3, 6 * fi + 6);
+      cv::Mat dRm;
+      cv::Rodrigues(dth, dRm);
+      MonoKF& kf = T->mkfs[fi + nfix];
+      kf.R = dRm * kf.R;
+      kf.t = dRm * kf.t + dt;
+    }
+    // back-substitute points
+    for (size_t pj = 0; pj < pts.size(); ++pj) {
+      auto& dat = pd[pj];
+      cv::Mat acc = dat.gp.clone();
+      for (size_t a = 0; a < dat.cams.size(); ++a)
+        acc -= dat.C[a].t() * dc.rowRange(6 * dat.cams[a], 6 * dat.cams[a] + 6);
+      T->mpts[pts[pj]].X += dat.Binv * acc;
+    }
+  }
+
+  if (getenv("SG_TRACKER_DEBUG"))
+    fprintf(stderr, "[ba] cams=%d pts=%zu err %.2f -> %.2f px\n", nc,
+            pts.size(), err0, mean_err());
+
+  // outlier pruning: drop observations with gross reprojection error
+  for (int j : pts) {
+    auto& mp = T->mpts[j];
+    auto bad = [&](const std::pair<int, cv::Point2f>& o) {
+      int ci = (o.first < static_cast<int>(id2ci.size())) ? id2ci[o.first]
+                                                          : -1;
+      if (ci < 0) return false;
+      const MonoKF& kf = T->mkfs[ci];
+      cv::Mat Xc = kf.R * mp.X + kf.t;
+      double z = Xc.at<double>(2);
+      if (z < 1e-6) return true;
+      double u = fx * Xc.at<double>(0) / z + cx;
+      double v = fy * Xc.at<double>(1) / z + cy;
+      return std::hypot(u - o.second.x, v - o.second.y) > 5.0;
+    };
+    mp.obs.erase(std::remove_if(mp.obs.begin(), mp.obs.end(), bad),
+                 mp.obs.end());
+    if (mp.obs.empty()) mp.dead = true;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -107,6 +358,7 @@ void* sg_tracker_create(double fx, double fy, double cx, double cy,
                            /*WTA_K=*/2, cv::ORB::HARRIS_SCORE,
                            /*patchSize=*/31, /*fastThreshold=*/7);
   T->matcher = cv::BFMatcher::create(cv::NORM_HAMMING, /*crossCheck=*/true);
+  T->matcher_knn = cv::BFMatcher::create(cv::NORM_HAMMING, false);
   T->fx = fx;
   T->fy = fy;
   T->cx = cx;
@@ -259,10 +511,393 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   return 0;
 }
 
+// ===== Monocular tracking: persistent map points + local bundle adjustment
+//
+// Track one MONOCULAR frame (no depth). Same contract as sg_tracker_track;
+// additionally returns -1 while the two-view bootstrap is still gathering
+// parallax. Map scale is arbitrary (init map normalized to median depth
+// mono_map_depth); downstream evaluation aligns with a similarity transform,
+// matching the reference's mono handling (reference: ORB-SLAM3 mono path —
+// two-view essential-matrix init, triangulated map points, local BA; this is
+// a from-scratch compact equivalent: Schur-complement Gauss-Newton over the
+// keyframe window with the two oldest poses fixed as the scale gauge).
+int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
+                          int h, double* pose_out, int* n_inliers_out) {
+  auto* T = static_cast<Tracker*>(handle);
+  cv::Mat img(h, w, CV_8UC1, const_cast<unsigned char*>(gray));
+  *n_inliers_out = 0;
+
+  std::vector<cv::KeyPoint> kps;
+  cv::Mat desc;
+  T->orb->detectAndCompute(img, cv::noArray(), kps, desc);
+
+  cv::Mat K = (cv::Mat_<double>(3, 3) << T->fx, 0, T->cx, 0, T->fy, T->cy,
+               0, 0, 1);
+
+  auto write_pose = [&](const cv::Mat& R, const cv::Mat& t) {
+    double q[4];
+    quat_from_R(R, q);
+    pose_out[0] = t.at<double>(0);
+    pose_out[1] = t.at<double>(1);
+    pose_out[2] = t.at<double>(2);
+    pose_out[3] = q[0];
+    pose_out[4] = q[1];
+    pose_out[5] = q[2];
+    pose_out[6] = q[3];
+  };
+
+  // ---- bootstrap: two-view initialization ----
+  if (!T->mono_initialized) {
+    if (T->init_kps.empty()) {
+      if (kps.size() >= 50) {
+        T->init_kps = kps;
+        T->init_desc = desc.clone();
+      }
+      write_pose(T->R_cur, T->t_cur);
+      return -1;
+    }
+    std::vector<cv::DMatch> matches;
+    T->matcher->match(T->init_desc, desc, matches);
+    if (matches.size() < 60) {  // scene changed too much: re-anchor
+      T->init_kps = kps;
+      T->init_desc = desc.clone();
+      write_pose(T->R_cur, T->t_cur);
+      return -1;
+    }
+    std::vector<cv::Point2f> p0, p1;
+    for (const auto& m : matches) {
+      p0.push_back(T->init_kps[m.queryIdx].pt);
+      p1.push_back(kps[m.trainIdx].pt);
+    }
+    double med_disp;
+    {
+      std::vector<double> d(p0.size());
+      for (size_t i = 0; i < p0.size(); ++i)
+        d[i] = std::hypot(p0[i].x - p1[i].x, p0[i].y - p1[i].y);
+      std::nth_element(d.begin(), d.begin() + d.size() / 2, d.end());
+      med_disp = d[d.size() / 2];
+    }
+    if (med_disp < 0.02 * w) {  // not enough parallax yet
+      write_pose(T->R_cur, T->t_cur);
+      return -1;
+    }
+    cv::Mat mask;
+    cv::Mat E = cv::findEssentialMat(p0, p1, K, cv::RANSAC, 0.999, 1.0, mask);
+    if (E.empty() || E.rows != 3) {
+      write_pose(T->R_cur, T->t_cur);
+      return -1;
+    }
+    cv::Mat R, t;
+    int good = cv::recoverPose(E, p0, p1, K, R, t, mask);
+    if (good < 40) {
+      write_pose(T->R_cur, T->t_cur);
+      return -1;
+    }
+    std::vector<cv::Point2f> q0, q1;
+    std::vector<int> rows1;
+    for (size_t i = 0; i < matches.size(); ++i) {
+      if (!mask.at<unsigned char>(static_cast<int>(i))) continue;
+      q0.push_back(p0[i]);
+      q1.push_back(p1[i]);
+      rows1.push_back(matches[i].trainIdx);
+    }
+    cv::Mat P0 = K * cv::Mat::eye(3, 4, CV_64F);
+    cv::Mat Rt;
+    cv::hconcat(R, t, Rt);
+    cv::Mat P1 = K * Rt;
+    cv::Mat X4;
+    cv::triangulatePoints(P0, P1, q0, q1, X4);
+    struct InitPt {
+      cv::Point3d X;
+      cv::Point2f px0, px1;
+      int row1;
+    };
+    std::vector<InitPt> pts;
+    std::vector<double> depths;
+    for (int i = 0; i < X4.cols; ++i) {
+      double wq = X4.at<float>(3, i);
+      if (std::abs(wq) < 1e-12) continue;
+      cv::Point3d X(X4.at<float>(0, i) / wq, X4.at<float>(1, i) / wq,
+                    X4.at<float>(2, i) / wq);
+      cv::Mat Xm = (cv::Mat_<double>(3, 1) << X.x, X.y, X.z);
+      cv::Mat x1 = R * Xm + t;
+      if (X.z <= 0.05 || x1.at<double>(2) <= 0.05) continue;
+      pts.push_back({X, q0[i], q1[i], rows1[i]});
+      depths.push_back(X.z);
+    }
+    if (pts.size() < 30) {
+      write_pose(T->R_cur, T->t_cur);
+      return -1;
+    }
+    std::nth_element(depths.begin(), depths.begin() + depths.size() / 2,
+                     depths.end());
+    double s = T->mono_map_depth / depths[depths.size() / 2];
+    t *= s;
+
+    MonoKF kf0;
+    kf0.id = T->next_kf_id++;
+    kf0.R = cv::Mat::eye(3, 3, CV_64F);
+    kf0.t = cv::Mat::zeros(3, 1, CV_64F);
+    kf0.kps = T->init_kps;
+    kf0.desc = T->init_desc.clone();
+    MonoKF kf1;
+    kf1.id = T->next_kf_id++;
+    kf1.R = R.clone();
+    kf1.t = t.clone();
+    kf1.kps = kps;
+    kf1.desc = desc.clone();
+    for (const auto& p : pts) {
+      MonoPoint mp;
+      mp.X = (cv::Mat_<double>(3, 1) << p.X.x * s, p.X.y * s, p.X.z * s);
+      mp.desc = desc.row(p.row1).clone();
+      mp.obs.push_back({kf0.id, p.px0});
+      mp.obs.push_back({kf1.id, p.px1});
+      mp.last_kf = kf1.id;
+      T->mpts.push_back(std::move(mp));
+    }
+    T->mkfs.push_back(std::move(kf0));
+    T->mkfs.push_back(std::move(kf1));
+    T->R_cur = R.clone();
+    T->t_cur = t.clone();
+    T->mono_initialized = true;
+    write_pose(R, t);
+    *n_inliers_out = static_cast<int>(pts.size());
+    return 1;
+  }
+
+  // ---- initialized: projection-guided frame-to-map matching ----
+  // Project each map point with the predicted (= last) pose and consider
+  // only keypoints within a search radius. This kills two failure modes of
+  // global descriptor matching at the source: descriptor aliasing across
+  // self-similar texture, and the planar-PnP mirror ambiguity that global
+  // RANSAC can lock onto with a large (but wrong-structure) consensus.
+  std::vector<int> active;  // indices into T->mpts
+  for (size_t i = 0; i < T->mpts.size(); ++i)
+    if (!T->mpts[i].dead) active.push_back(static_cast<int>(i));
+  if (active.size() < 12 || desc.empty()) return -1;
+
+  std::vector<cv::Point3f> obj;
+  std::vector<cv::Point2f> scene;
+  std::vector<int> match_mp, match_row;
+  auto guided_match = [&](double radius, int max_hamming) {
+    obj.clear();
+    scene.clear();
+    match_mp.clear();
+    match_row.clear();
+    for (int mi : active) {
+      const auto& mp = T->mpts[mi];
+      cv::Mat Xc = T->R_cur * mp.X + T->t_cur;
+      double z = Xc.at<double>(2);
+      if (z < 1e-3) continue;
+      float u = static_cast<float>(T->fx * Xc.at<double>(0) / z + T->cx);
+      float v = static_cast<float>(T->fy * Xc.at<double>(1) / z + T->cy);
+      if (u < -radius || u > w + radius || v < -radius || v > h + radius)
+        continue;
+      int best = max_hamming + 1, best_row = -1;
+      for (size_t k = 0; k < kps.size(); ++k) {
+        if (std::abs(kps[k].pt.x - u) > radius ||
+            std::abs(kps[k].pt.y - v) > radius)
+          continue;
+        int d = static_cast<int>(cv::norm(mp.desc, desc.row(k),
+                                          cv::NORM_HAMMING));
+        if (d < best) {
+          best = d;
+          best_row = static_cast<int>(k);
+        }
+      }
+      if (best_row < 0) continue;
+      const cv::Mat& X = mp.X;
+      obj.push_back(cv::Point3f(static_cast<float>(X.at<double>(0)),
+                                static_cast<float>(X.at<double>(1)),
+                                static_cast<float>(X.at<double>(2))));
+      scene.push_back(kps[best_row].pt);
+      match_mp.push_back(mi);
+      match_row.push_back(best_row);
+    }
+  };
+  guided_match(16.0, 64);
+  if (obj.size() < 30) guided_match(48.0, 64);  // wider: recover after loss
+  if (getenv("SG_TRACKER_DEBUG"))
+    fprintf(stderr, "[mono] map=%zu guided-matches=%zu\n", active.size(),
+            obj.size());
+  if (obj.size() < 12) return -1;
+
+  // motion-prior-guided PnP with unguided EPnP fallback
+  cv::Mat rvec, tvec;
+  cv::Rodrigues(T->R_cur, rvec);
+  tvec = T->t_cur.clone();
+  std::vector<int> inliers;
+  bool ok = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rvec, tvec, true,
+                               200, 3.0, 0.995, inliers,
+                               cv::SOLVEPNP_ITERATIVE);
+  if (!ok || inliers.size() < 30) {
+    cv::Mat rv2, tv2;
+    std::vector<int> in2;
+    bool ok2 = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rv2, tv2, false,
+                                  200, 3.0, 0.995, in2, cv::SOLVEPNP_EPNP);
+    if (ok2 && in2.size() > inliers.size()) {
+      ok = ok2;
+      rvec = rv2;
+      tvec = tv2;
+      inliers = in2;
+    }
+  }
+  if (getenv("SG_TRACKER_DEBUG"))
+    fprintf(stderr, "[mono] pnp ok=%d inliers=%zu\n", (int)ok, inliers.size());
+  if (!ok || inliers.size() < 10) {
+    *n_inliers_out = static_cast<int>(inliers.size());
+    return -1;
+  }
+  {
+    std::vector<cv::Point3f> obj_in;
+    std::vector<cv::Point2f> scene_in;
+    for (int idx : inliers) {
+      obj_in.push_back(obj[idx]);
+      scene_in.push_back(scene[idx]);
+    }
+    cv::solvePnPRefineLM(obj_in, scene_in, K, cv::Mat(), rvec, tvec);
+  }
+  cv::Mat R;
+  cv::Rodrigues(rvec, R);
+  cv::Mat t = tvec;
+  {  // pose-jump gate (RANSAC snapped to a wrong consensus set)
+    cv::Mat c_new = -R.t() * t;
+    cv::Mat c_old = -T->R_cur.t() * T->t_cur;
+    cv::Mat dRj = R * T->R_cur.t();
+    if (getenv("SG_TRACKER_DEBUG"))
+      fprintf(stderr, "[mono] jump t=%.3f r=%.2f\n", cv::norm(c_new - c_old),
+              rotation_angle_deg(dRj));
+    if ((cv::norm(c_new - c_old) > 0.3 || rotation_angle_deg(dRj) > 12.0) &&
+        T->reject_streak < 10) {
+      T->reject_streak++;
+      *n_inliers_out = static_cast<int>(inliers.size());
+      return -1;
+    }
+    T->reject_streak = 0;
+  }
+  T->R_cur = R;
+  T->t_cur = t;
+  T->frames_since_kf++;
+  T->mono_frame++;
+  for (int idx : inliers)
+    T->mpts[match_mp[idx]].last_seen_frame = T->mono_frame;
+  write_pose(R, t);
+  *n_inliers_out = static_cast<int>(inliers.size());
+
+  // ---- keyframe decision ----
+  const MonoKF& last = T->mkfs.back();
+  cv::Mat dR = R * last.R.t();
+  cv::Mat cam_center = -R.t() * t;
+  cv::Mat last_center = -last.R.t() * last.t;
+  double trans = cv::norm(cam_center - last_center);
+  double rot = rotation_angle_deg(dR);
+  bool coverage_low = inliers.size() < 50 && T->frames_since_kf >= 3;
+  if (!(trans > T->kf_min_translation || rot > T->kf_min_rotation_deg ||
+        coverage_low)) {
+    return 0;
+  }
+
+  int kf_id = T->next_kf_id++;
+  // re-observations: PnP inliers extend their map points
+  std::vector<bool> used(kps.size(), false);
+  for (int idx : inliers) {
+    int mp_i = match_mp[idx];
+    int row = match_row[idx];
+    if (used[row]) continue;
+    used[row] = true;
+    auto& mp = T->mpts[mp_i];
+    mp.obs.push_back({kf_id, kps[row].pt});
+    mp.desc = desc.row(row).clone();
+    mp.last_kf = kf_id;
+  }
+  // fresh triangulations vs the previous keyframe AND the oldest window
+  // keyframe (the latter has real baseline even during keyframe bursts)
+  for (const MonoKF* ref :
+       {&T->mkfs.back(),
+        T->mkfs.size() > 1 ? &T->mkfs.front() : &T->mkfs.back()}) {
+    std::vector<int> tri_rows;
+    std::vector<cv::Point3f> tri_world;
+    std::vector<cv::Point2f> tri_px_prev;
+    triangulate_new_points_mono(K, *ref, kps, desc, R, t, T->matcher.get(),
+                                &tri_rows, &tri_world, &tri_px_prev);
+    for (size_t i = 0; i < tri_rows.size(); ++i) {
+      if (used[tri_rows[i]]) continue;
+      cv::Mat Xm = (cv::Mat_<double>(3, 1) << tri_world[i].x, tri_world[i].y,
+                    tri_world[i].z);
+      cv::Mat xc = R * Xm + t;
+      double z = xc.at<double>(2);
+      if (z > 4.0 * T->mono_map_depth || z < 0.1 * T->mono_map_depth)
+        continue;
+      used[tri_rows[i]] = true;
+      MonoPoint mp;
+      mp.X = Xm.clone();
+      mp.desc = desc.row(tri_rows[i]).clone();
+      mp.obs.push_back({ref->id, tri_px_prev[i]});
+      mp.obs.push_back({kf_id, kps[tri_rows[i]].pt});
+      mp.last_kf = kf_id;
+      mp.last_seen_frame = T->mono_frame;
+      T->mpts.push_back(std::move(mp));
+    }
+  }
+  MonoKF kf;
+  kf.id = kf_id;
+  kf.R = R.clone();
+  kf.t = t.clone();
+  kf.kps = kps;
+  kf.desc = desc.clone();
+  T->mkfs.push_back(std::move(kf));
+  while (T->mkfs.size() > T->window) T->mkfs.pop_front();
+  T->frames_since_kf = 0;
+
+  // drop window-external observations (BA only sees the window); points
+  // themselves stay alive for PnP until they go stale — tying point lifetime
+  // to the keyframe window starves the map during keyframe bursts
+  {
+    int oldest = T->mkfs.front().id;
+    std::vector<MonoPoint> kept;
+    kept.reserve(T->mpts.size());
+    for (auto& mp : T->mpts) {
+      if (mp.dead || T->mono_frame - mp.last_seen_frame > 40) continue;
+      auto it = std::remove_if(
+          mp.obs.begin(), mp.obs.end(),
+          [&](const std::pair<int, cv::Point2f>& o) { return o.first < oldest; });
+      mp.obs.erase(it, mp.obs.end());
+      kept.push_back(std::move(mp));
+    }
+    T->mpts = std::move(kept);
+  }
+
+  mono_local_ba(T, K);
+  // adopt the BA-refined newest pose as the tracking state and output
+  T->R_cur = T->mkfs.back().R.clone();
+  T->t_cur = T->mkfs.back().t.clone();
+  write_pose(T->R_cur, T->t_cur);
+  return 1;
+}
+
 // Last keyframe's keypoints with valid depth: fills up to max_n entries of
 // (u, v, x, y, z) float32 rows; returns the count.
 int sg_tracker_keyframe_points(void* handle, float* out, int max_n) {
   auto* T = static_cast<Tracker*>(handle);
+  if (!T->mkfs.empty()) {  // monocular: points observed in the newest kf
+    const MonoKF& kf = T->mkfs.back();
+    int n = 0;
+    for (const auto& mp : T->mpts) {
+      if (mp.dead || n >= max_n) continue;
+      for (const auto& o : mp.obs) {
+        if (o.first != kf.id) continue;
+        cv::Mat xc = kf.R * mp.X + kf.t;
+        out[n * 5 + 0] = o.second.x;
+        out[n * 5 + 1] = o.second.y;
+        out[n * 5 + 2] = static_cast<float>(xc.at<double>(0));
+        out[n * 5 + 3] = static_cast<float>(xc.at<double>(1));
+        out[n * 5 + 4] = static_cast<float>(xc.at<double>(2));
+        ++n;
+        break;
+      }
+    }
+    return n;
+  }
   if (T->kfs.empty()) return 0;
   const auto& kf = T->kfs.back();
   int n = 0;
