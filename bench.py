@@ -58,12 +58,66 @@ def main():
     img.block_until_ready()
     fps = iters / (time.time() - t0)
 
+    mapping = _mapping_throughput()
+
     print(json.dumps({
         "metric": "render_fps_640x480_100k",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 100.0, 3),
+        **mapping,
     }))
+
+
+def _mapping_throughput():
+    """Online train-step throughput at the Replica RGB-D operating point
+    (640x480, capacity 2^16 anchors x K=10): BASELINE.json names
+    'mapping iters/sec'. Returns extra JSON fields; the headline metric
+    stays render FPS for cross-round comparability."""
+    import traceback
+
+    try:
+        from segs_slam_tpu.core import Camera
+        from segs_slam_tpu.core.keyframe import Keyframe
+        from segs_slam_tpu.models.anchors import empty_state, insert_points
+        from segs_slam_tpu.models.config import ModelConfig
+        from segs_slam_tpu.models.decoders import init_decoders
+        from segs_slam_tpu.ops.rasterizer import RasterConfig
+        from segs_slam_tpu.train.config import OptimizationConfig
+        from segs_slam_tpu.train.step import init_train_state, make_train_step
+
+        width, height = 640, 480
+        mc = ModelConfig(capacity=2**16)
+        oc = OptimizationConfig()
+        rc = RasterConfig(tile=16, compact=2**16, kmax=8, chunk=256)
+        cam = Camera(camera_id=0, width=width, height=height, fx=500.0,
+                     fy=500.0, cx=width / 2, cy=height / 2)
+        kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
+        rng = np.random.default_rng(0)
+        pts = rng.uniform([-3, -2, 1.5], [3, 2, 10], size=(40_000, 3))
+        anchors, _ = insert_points(empty_state(mc), pts, mc)
+        decoders = init_decoders(jax.random.PRNGKey(0), mc)
+        ts = init_train_state(anchors, decoders, mc)
+        step = jax.jit(make_train_step(mc, oc, rc, width, height,
+                                       interpret=False))
+        cam_in = {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
+        gt = jnp.asarray(rng.uniform(0, 1, (3, height, width)), jnp.float32)
+        bg = jnp.zeros(3)
+        ts, m = step(ts, cam_in, gt, bg)
+        jax.block_until_ready(m)
+        iters = 20
+        t0 = time.time()
+        for _ in range(iters):
+            ts, m = step(ts, cam_in, gt, bg)
+        jax.block_until_ready(m)
+        dt = (time.time() - t0) / iters
+        return {
+            "mapping_iters_per_sec": round(1.0 / dt, 2),
+            "mapping_ms_per_iter": round(dt * 1000.0, 2),
+        }
+    except Exception:
+        traceback.print_exc()
+        return {"mapping_iters_per_sec": None}
 
 
 if __name__ == "__main__":

@@ -64,6 +64,24 @@ EUROC_T_BS1 = np.array([
 ])
 
 
+class PreRectified:
+    """Identity 'rectifier' for datasets whose pairs are already rectified
+    and distortion-free (e.g. utils/make_stereo_dataset.py synthetic)."""
+
+    def __init__(self, camera: Camera, baseline: float):
+        self.camera = camera
+        self.baseline = baseline
+
+    def remap_left(self, img):
+        return img
+
+    def remap_right(self, img):
+        return img
+
+    def rectify_pose(self, q, t):
+        return np.asarray(q, np.float32), np.asarray(t, np.float32)
+
+
 def build_rectifier(downscale: int = 1) -> StereoRectifyMap:
     camL = Camera(camera_id=0, width=EUROC_CAM0["w"], height=EUROC_CAM0["h"],
                   fx=EUROC_CAM0["fx"], fy=EUROC_CAM0["fy"],
@@ -78,10 +96,21 @@ def build_rectifier(downscale: int = 1) -> StereoRectifyMap:
                             scale=downscale)
 
 
+def _disp_range(cam: Camera, baseline: float, max_depth: float,
+                min_depth: float = 0.25) -> tuple[int, int]:
+    """Disparity search window covering [min_depth, max_depth]: the r1
+    failure mode was a fixed min_disparity=8 that capped depth at fx*b/8
+    (~3.1 m on EuRoC half-res), so all far geometry got wrong near depths."""
+    lo = max(1, int(np.floor(cam.fx * baseline / max_depth)))
+    hi = int(np.ceil(cam.fx * baseline / min_depth))
+    return lo, min(max(hi - lo, 16), 160)
+
+
 def _depth_from_disparity(gray_l, gray_r, cam: Camera, baseline: float,
-                          min_disp=4, num_disp=64) -> np.ndarray:
+                          max_depth: float = 40.0) -> np.ndarray:
     """Full-resolution pseudo-depth for the native tracker: strided block
     matching upsampled nearest-neighbor (0 = invalid)."""
+    min_disp, num_disp = _disp_range(cam, baseline, max_depth)
     disp, ys, xs = frontends.stereo_block_matching(
         gray_l, gray_r, min_disparity=min_disp, num_disparities=num_disp,
         stride=4,
@@ -130,7 +159,8 @@ def run_stereo_producer(pairs, rectifier: StereoRectifyMap, queue,
         t0 = time.perf_counter()
         if tracker is not None:
             depth = _depth_from_disparity(gray_l, gray_r, cam,
-                                          rectifier.baseline)
+                                          rectifier.baseline,
+                                          max_depth=max_depth)
             status, pose7, _ = tracker.track(
                 (gray_l * 255).astype(np.uint8), depth
             )
@@ -150,8 +180,10 @@ def run_stereo_producer(pairs, rectifier: StereoRectifyMap, queue,
                            image=rgb, depth=None, timestamp=fr.timestamp)
         op = MappingOperation(kind=OperationKind.LOCAL_MAPPING_BA,
                               keyframes=[kfd])
+        min_disp, num_disp = _disp_range(cam, rectifier.baseline, max_depth)
         pts = frontends.stereo_densify(
             gray_l, gray_r, cam, rectifier.baseline, quat, trans,
+            min_disparity=min_disp, num_disparities=num_disp,
             max_depth=max_depth,
         )
         if len(pts) > points_per_kf:
@@ -178,6 +210,10 @@ def main(argv=None):
     p.add_argument("--kmax", type=int, default=16)
     p.add_argument("--downscale", type=int, default=2)
     p.add_argument("--min-init-kfs", type=int, default=10)
+    p.add_argument("--pre-rectified", action="store_true",
+                   help="dataset pairs are rectified + distortion-free; "
+                        "intrinsics come from <path>/calib.json")
+    p.add_argument("--max-depth", type=float, default=40.0)
     args = p.parse_args(argv)
 
     pairs = datasets.load_euroc_stereo(args.path)
@@ -187,7 +223,17 @@ def main(argv=None):
         pairs = pairs[: args.max_frames]
     print(f"{len(pairs)} stereo pairs")
 
-    rectifier = build_rectifier(args.downscale)
+    if args.pre_rectified:
+        import json
+
+        calib = json.loads((Path(args.path) / "calib.json").read_text())
+        rect_cam = Camera(
+            camera_id=0, width=calib["width"], height=calib["height"],
+            fx=calib["fx"], fy=calib["fy"], cx=calib["cx"], cy=calib["cy"],
+        )
+        rectifier = PreRectified(rect_cam, calib["baseline"])
+    else:
+        rectifier = build_rectifier(args.downscale)
     cam = rectifier.camera
 
     mc = ModelConfig(capacity=args.capacity)
@@ -207,7 +253,7 @@ def main(argv=None):
         est_rows_box.extend(
             run_stereo_producer(pairs, rectifier, queue, args.tracker,
                                 args.keyframe_every, 400, tracking_times,
-                                stop_event)
+                                stop_event, max_depth=args.max_depth)
         )
         mapper.signal_stop()
 

@@ -44,6 +44,22 @@ def normalize_quat(q, eps: float = 1e-12):
     return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
 
 
+def quat_mul(a, b):
+    """Hamilton product of (..., 4) (w,x,y,z) quaternions: rot(a∘b) =
+    rot(a)·rot(b)."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
 def rotmat_to_quat(R):
     """Rotation matrix (3, 3) -> quaternion (w, x, y, z), w >= 0."""
     m00, m01, m02 = R[0, 0], R[0, 1], R[0, 2]

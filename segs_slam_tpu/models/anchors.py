@@ -149,7 +149,12 @@ def insert_points(
     dist2_all = np.asarray(
         mean_knn_sq_dist(jnp.asarray(pts_pad), jnp.asarray(valid))
     )
-    dist2 = np.maximum(dist2_all[:n_new], 1e-7)
+    dist2 = dist2_all[:n_new]
+    # With < k+1 valid points total, the masked-to-inf self/invalid rows
+    # leak inf into the mean; fall back to a voxel-sized scale so tiny
+    # initial clouds don't get inf log-scales (NaN-poisoning new anchors).
+    dist2 = np.where(np.isfinite(dist2), dist2, config.voxel_size**2)
+    dist2 = np.maximum(dist2, 1e-7)
     scales = np.log(np.sqrt(dist2)).astype(np.float32)[:, None].repeat(6, axis=1)
 
     sl = slice(n_active, n_active + n_new)

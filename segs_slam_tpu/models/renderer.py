@@ -24,6 +24,9 @@ class RenderOutput(NamedTuple):
     neural: NeuralGaussians
     visible_anchor_mask: jnp.ndarray  # (cap,)
     num_instances: jnp.ndarray
+    num_compact: jnp.ndarray  # () int32 — visible gaussians before the
+    #   static `compact` cap (overflow drops gaussians + their grads)
+    num_kmax_truncated: jnp.ndarray  # () int32 — footprints shrunk to kmax
 
 
 def render(
@@ -93,6 +96,8 @@ def render(
         neural=neural,
         visible_anchor_mask=visible,
         num_instances=out["num_instances"],
+        num_compact=out["num_compact"],
+        num_kmax_truncated=out["num_kmax_truncated"],
     )
 
 

@@ -18,16 +18,28 @@ _LIB_PATH = _DIR / "libsegs_native.so"
 _lib = None
 
 
+def _needs_build() -> bool:
+    if not _LIB_PATH.exists():
+        return True
+    so_mtime = _LIB_PATH.stat().st_mtime
+    return any(
+        src.stat().st_mtime > so_mtime for src in _DIR.glob("*.cpp")
+    )
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    if _needs_build():
+        # Rebuild whenever a .cpp is newer than the .so so edits never
+        # silently execute against a stale binary (the .so is untracked).
         try:
             subprocess.run(["bash", str(_DIR / "build.sh")], check=True,
                            capture_output=True)
         except Exception:
-            return None
+            if not _LIB_PATH.exists():
+                return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:

@@ -61,6 +61,8 @@ class GaussianProjection(NamedTuple):
     rect_min: jnp.ndarray  # (N, 2) int32 tile coords (x, y)
     rect_max: jnp.ndarray  # (N, 2) int32 tile coords, exclusive
     tiles_touched: jnp.ndarray  # (N,) int32
+    kmax_truncated: jnp.ndarray  # () int32 — valid gaussians whose footprint
+    #   exceeded kmax tiles and was shrunk (silent-quality guard)
 
 
 def compute_cov3d(scales: jnp.ndarray, quats: jnp.ndarray,
@@ -276,6 +278,7 @@ def preprocess_gaussians(
 
     radius = jnp.where(valid, r, 0.0).astype(jnp.int32)
     tiles_touched = jnp.where(valid, tiles_touched, 0)
+    kmax_truncated = jnp.sum((over & valid).astype(jnp.int32))
 
     return GaussianProjection(
         mean2d=mean2d,
@@ -285,4 +288,5 @@ def preprocess_gaussians(
         rect_min=jnp.stack([rect_min_x, rect_min_y], axis=-1),
         rect_max=jnp.stack([rect_max_x, rect_max_y], axis=-1),
         tiles_touched=tiles_touched,
+        kmax_truncated=kmax_truncated,
     )

@@ -137,6 +137,7 @@ def rasterize(
         "depth_map": depth_map,
         "num_instances": num_instances,
         "num_compact": num_compact,
+        "num_kmax_truncated": proj.kmax_truncated,
         "depth": proj.depth,
     }
 

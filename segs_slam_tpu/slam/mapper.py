@@ -218,6 +218,12 @@ class Mapper:
                     print(f"[mapper] iter {self.trainer.iteration}: "
                           f"nonfinite_grads={nfg} loss={loss} "
                           f"anchor_sum={anchor_sum}", flush=True)
+                nc = int(m.get("num_compact", 0))
+                if nc > self.trainer.raster_config.compact:
+                    print(f"[mapper] WARNING iter {self.trainer.iteration}: "
+                          f"{nc} visible gaussians exceed compact capacity "
+                          f"{self.trainer.raster_config.compact}; overflow "
+                          "dropped", flush=True)
             if op is None and m is None:
                 if self.producer_done and not self.queue.has_operation():
                     break

@@ -93,7 +93,17 @@ def make_train_step(
     width: int,
     height: int,
     interpret: bool | None = None,
+    axis_name: str | None = None,
 ):
+    """Build the fused train step.
+
+    With ``axis_name`` set, the returned function is the per-chip SPMD body
+    for a data-parallel mesh (see parallel/dp.py): losses/gradients are
+    pmean'd and densification-statistic contributions psum'd over that axis
+    before the (replicated) Adam update — each chip renders its own keyframe
+    against replicated map state, so one dp step over B chips accumulates
+    stats like B sequential single-chip iterations.
+    """
     cap, k = model_config.capacity, model_config.n_offsets
     schedules = opt_config.lr_schedules()
     freq_scales = tuple(1.0 / 2**i for i in range(opt_config.scale_num))
@@ -189,6 +199,16 @@ def make_train_step(
         grads = jax.tree.map(_clean, grads)
         mean2d_grad = _clean(mean2d_grad)
 
+        if axis_name is not None:
+            # Sanitize per-chip FIRST (above), so one chip's NaN cannot
+            # poison the cross-chip reduction; then average the model grads
+            # for the replicated Adam update. mean2d_grad stays per-chip:
+            # densify statistics below are per-keyframe contributions that
+            # get psum'd, matching B sequential reference iterations
+            # (training_statis, src/gaussian_model.cpp:1459-1503).
+            grads = jax.lax.pmean(grads, axis_name)
+            nonfinite = jax.lax.psum(nonfinite, axis_name)
+
         # --- densification statistics (training_statis,
         # src/gaussian_model.cpp:1459-1503), gated on the stats window ---
         in_window = (it > opt_config.start_stat) & (it < opt_config.update_until)
@@ -198,9 +218,8 @@ def make_train_step(
         neural_op = out.neural.neural_opacity.reshape(cap, k)
         temp_op = jnp.maximum(neural_op, 0.0)
         vis_f = visible.astype(jnp.float32)
-        stats = ts.stats
-        opacity_accum = stats.opacity_accum + gate * vis_f * jnp.sum(temp_op, axis=1)
-        anchor_demon = stats.anchor_demon + gate * vis_f
+        d_opacity = gate * vis_f * jnp.sum(temp_op, axis=1)
+        d_demon = gate * vis_f
 
         # combined mask: anchor visible & neural opacity > 0 & rendered
         combined = (
@@ -213,14 +232,20 @@ def make_train_step(
         gscale = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
         gnorm = jnp.linalg.norm(mean2d_grad * gscale[None, :], axis=-1).reshape(cap, k)
         cf = combined.astype(jnp.float32) * gate
-        offset_grad_accum = stats.offset_grad_accum + cf * gnorm
-        offset_denom = stats.offset_denom + cf
+        d_grad = cf * gnorm
+        d_denom = cf
 
+        if axis_name is not None:
+            d_opacity, d_demon, d_grad, d_denom = jax.lax.psum(
+                (d_opacity, d_demon, d_grad, d_denom), axis_name
+            )
+
+        stats = ts.stats
         new_stats = DensifyStats(
-            opacity_accum=opacity_accum,
-            anchor_demon=anchor_demon,
-            offset_grad_accum=offset_grad_accum,
-            offset_denom=offset_denom,
+            opacity_accum=stats.opacity_accum + d_opacity,
+            anchor_demon=stats.anchor_demon + d_demon,
+            offset_grad_accum=stats.offset_grad_accum + d_grad,
+            offset_denom=stats.offset_denom + d_denom,
         )
 
         # --- Adam ---
@@ -250,7 +275,19 @@ def make_train_step(
             "num_instances": out.num_instances,
             "n_active": ts.anchors.num_active(),
             "nonfinite_grads": nonfinite,
+            # capacity-pressure counters: visible gaussians beyond the static
+            # `compact` cap are silently dropped (with their gradients), and
+            # oversized footprints are shrunk to kmax tiles — both must be
+            # observable (advisor finding r1; binning.py:59-108,
+            # preprocess.py:251-272)
+            "num_compact": out.num_compact,
+            "num_kmax_truncated": out.num_kmax_truncated,
         }
+        if axis_name is not None:
+            for key in ("loss", "l1", "psnr", "ssim"):
+                metrics[key] = jax.lax.pmean(metrics[key], axis_name)
+            for key in ("num_instances", "num_compact", "num_kmax_truncated"):
+                metrics[key] = jax.lax.pmax(metrics[key], axis_name)
         return new_ts, metrics
 
     return step_fn

@@ -132,8 +132,11 @@ class Trainer:
         """Similarity correction of the map (scale refinement / loop close,
         reference: scaleAndTransformThenMarkVisiblePoints,
         src/operate_points.cu:96-143 + combineMappingOperations :1165-1196).
-        Applies p' = R (s p) + t to anchors and cached points; log-scales the
-        anchor scalings and offsets accordingly."""
+        Applies p' = R (s p) + t to anchors and cached points, log-scales the
+        anchor scalings, rotates the learned per-anchor offset vectors (they
+        decode in world axes: xyz = anchor + offset * exp(scaling[:, :3])),
+        and composes the anchor rotation quats with R. (The reference's
+        applyScaledTransformation is an empty stub.)"""
         T = np.eye(4) if transform is None else np.asarray(transform)
         for pid, p in list(self.scene.cached_points.items()):
             self.scene.cached_points[pid] = (T[:3, :3] @ (scale * p) + T[:3, 3]).astype(
@@ -143,12 +146,23 @@ class Trainer:
             return
         import jax.numpy as jnp
 
+        from segs_slam_tpu.core.se3 import normalize_quat, quat_mul, rotmat_to_quat
+
         a = self.state.anchors
         R = jnp.asarray(T[:3, :3], jnp.float32)
         t = jnp.asarray(T[:3, 3], jnp.float32)
+        # Exact offset correction through the per-axis scale basis:
+        # world offset = offset * exp(s3); rotate+scale it, then re-express
+        # in the new basis exp(s3') = s * exp(s3).
+        e3 = jnp.exp(a.scaling[:, :3])  # (cap, 3)
+        off_world = (a.offset * e3[:, None, :] * scale) @ R.T
+        new_offset = off_world / jnp.maximum(e3[:, None, :] * scale, 1e-12)
+        qR = rotmat_to_quat(R)
         anchors = a._replace(
             anchor=(a.anchor * scale) @ R.T + t,
             scaling=a.scaling + np.log(scale),
+            offset=new_offset,
+            rotation=normalize_quat(quat_mul(qR[None, :], a.rotation)),
         )
         self.state = self.state._replace(anchors=anchors)
 
@@ -218,7 +232,26 @@ class Trainer:
                     f"psnr={mm['psnr']:.2f} active={int(mm['n_active'])} "
                     f"({dt:.1f} ms/iter)"
                 )
+                self._warn_capacity(mm, log_fn)
         return last
+
+    def _warn_capacity(self, mm: dict, log_fn=print) -> None:
+        """Surface silent static-capacity truncations (advisor finding r1):
+        visible gaussians beyond RasterConfig.compact are dropped with their
+        gradients; footprints beyond kmax tiles are shrunk."""
+        nc = mm.get("num_compact")
+        if nc is not None and nc > self.raster_config.compact:
+            log_fn(
+                f"WARNING: {int(nc)} visible gaussians exceed the compaction "
+                f"capacity {self.raster_config.compact}; overflow is dropped "
+                "(raise RasterConfig.compact)"
+            )
+        nt = mm.get("num_kmax_truncated")
+        if nt:
+            log_fn(
+                f"note: {int(nt)} gaussian footprints truncated to "
+                f"kmax={self.raster_config.kmax} tiles"
+            )
 
     # --- evaluation (reference: renderAndRecordKeyframe,
     # src/gaussian_mapper.cpp:1769-1907) ---
@@ -237,6 +270,39 @@ class Trainer:
     def render_keyframe(self, kf: Keyframe):
         cam, _ = self._kf_inputs(kf)
         return self._eval_render()(self.state.anchors, self.state.decoders, cam)
+
+    def _eval_render_metrics(self):
+        """One fused jit call per keyframe: render + masked PSNR/SSIM/PSNR_GS
+        on device. Keeping it a single dispatch lets the eval loop pipeline
+        keyframes back-to-back (per-call sync latency through the TPU runtime
+        is ~4x the actual compute — see eval/recorder.py)."""
+        if not hasattr(self, "_eval_render_metrics_jit"):
+            def _rm(anchors, decoders, cam, gt):
+                img = render(
+                    anchors, decoders, cam, self.width, self.height, self._bg,
+                    self.model_config, self.raster_config,
+                    interpret=self.interpret,
+                ).image
+                mask = jnp.any(gt != 0.0, axis=0, keepdims=True).astype(
+                    jnp.float32
+                )
+                img_m, gt_m = img * mask, gt * mask
+                return (
+                    img_m,
+                    losses.psnr(img_m, gt_m),
+                    losses.ssim(img_m, gt_m),
+                    losses.psnr_gaussian_splatting(img_m, gt_m),
+                )
+
+            self._eval_render_metrics_jit = jax.jit(_rm)
+        return self._eval_render_metrics_jit
+
+    def render_and_measure_keyframe(self, kf: Keyframe):
+        """Async-dispatched (img_masked, psnr, ssim, psnr_gs) device tuple."""
+        cam, gt = self._kf_inputs(kf)
+        return self._eval_render_metrics()(
+            self.state.anchors, self.state.decoders, cam, gt
+        )
 
     def evaluate(self) -> dict:
         if not hasattr(self, "_eval_metrics_jit"):

@@ -1,0 +1,135 @@
+"""Parity tests for the data-parallel step (parallel/dp.py) on a virtual
+8-device CPU mesh (conftest forces xla_force_host_platform_device_count=8).
+
+The dp per-chip body is the single-chip step (train/step.py) with
+axis_name="dp"; these tests pin the intended reduction semantics:
+  - grads/losses pmean'd  -> identical replicated inputs reproduce the
+    single-chip update exactly;
+  - densify statistics psum'd -> one dp step over B chips accumulates stats
+    like B sequential single-chip iterations (B x the per-keyframe delta);
+  - distinct per-chip inputs -> dp loss == mean of per-chip losses.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from segs_slam_tpu.core import Camera
+from segs_slam_tpu.core.keyframe import Keyframe
+from segs_slam_tpu.models.anchors import empty_state, insert_points
+from segs_slam_tpu.models.config import ModelConfig
+from segs_slam_tpu.models.decoders import init_decoders
+from segs_slam_tpu.ops.rasterizer import RasterConfig
+from segs_slam_tpu.parallel.dp import make_dp_train_step
+from segs_slam_tpu.train.config import OptimizationConfig
+from segs_slam_tpu.train.step import init_train_state, make_train_step
+
+W, H = 32, 32
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < NDEV:
+        pytest.skip(f"need {NDEV} devices, have {len(jax.devices())}")
+    mc = ModelConfig(feat_dim=8, n_offsets=4, appearance_dim=8,
+                     embedding_dim=4, capacity=64, voxel_size=0.05)
+    oc = OptimizationConfig(
+        start_stat=0, update_from=4, update_interval=5, update_until=100,
+        use_frequency_regularization=False,
+    )
+    rc = RasterConfig(tile=16, compact=512, kmax=16, chunk=64)
+    cam = Camera(camera_id=0, width=W, height=H, fx=30.0, fy=30.0, cx=16, cy=16)
+    kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform([-0.8, -0.6, 1.5], [0.8, 0.6, 4.0], size=(40, 3))
+    anchors, n_ins = insert_points(empty_state(mc), pts, mc)
+    assert n_ins > 10
+    decoders = init_decoders(jax.random.PRNGKey(0), mc)
+    ts = init_train_state(anchors, decoders, mc)
+
+    gt = jnp.asarray(
+        np.clip(rng.uniform(0.1, 0.9, size=(3, H, W)), 0, 1), jnp.float32
+    )
+    cam_in = {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), axis_names=("dp",))
+    return mc, oc, rc, ts, gt, cam_in, mesh
+
+
+def _batch(cam_in, gt, n):
+    cam_b = {k: jnp.broadcast_to(v, (n,) + v.shape) for k, v in cam_in.items()}
+    gt_b = jnp.broadcast_to(gt, (n,) + gt.shape)
+    return cam_b, gt_b
+
+
+def test_dp_matches_single_chip_on_replicated_inputs(setup):
+    mc, oc, rc, ts, gt, cam_in, mesh = setup
+    bg = jnp.zeros(3)
+    single = jax.jit(make_train_step(mc, oc, rc, W, H))
+    dp = make_dp_train_step(mesh, mc, oc, rc, W, H)
+
+    ts1, m1 = single(ts, cam_in, gt, bg)
+    cam_b, gt_b = _batch(cam_in, gt, NDEV)
+    with mesh:
+        tsd, md = dp(ts, cam_b, gt_b, bg)
+
+    # pmean of identical grads == single-chip grads -> identical update
+    for key in ("loss", "l1", "psnr", "ssim"):
+        np.testing.assert_allclose(
+            float(md[key]), float(m1[key]), rtol=1e-5, atol=1e-6, err_msg=key
+        )
+    p1 = jax.tree.leaves(ts1.anchors.params()) + jax.tree.leaves(ts1.decoders)
+    pd = jax.tree.leaves(tsd.anchors.params()) + jax.tree.leaves(tsd.decoders)
+    for a, b in zip(p1, pd):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
+
+    # stats are psum'd: dp delta == NDEV x single-chip delta
+    for s1, sd, s0 in zip(
+        ts1.stats, tsd.stats, ts.stats
+    ):
+        np.testing.assert_allclose(
+            np.asarray(sd - s0), NDEV * np.asarray(s1 - s0),
+            rtol=1e-4, atol=1e-5,
+        )
+    assert int(tsd.step) == 1
+    assert int(md["nonfinite_grads"]) == 0
+
+
+def test_dp_loss_is_mean_of_per_chip_losses(setup):
+    mc, oc, rc, ts, gt, cam_in, mesh = setup
+    bg = jnp.zeros(3)
+    single = jax.jit(make_train_step(mc, oc, rc, W, H))
+    dp = make_dp_train_step(mesh, mc, oc, rc, W, H)
+
+    rng = np.random.default_rng(7)
+    gts = jnp.asarray(
+        np.clip(rng.uniform(0, 1, size=(NDEV, 3, H, W)), 0, 1), jnp.float32
+    )
+    cam_b = {k: jnp.broadcast_to(v, (NDEV,) + v.shape) for k, v in cam_in.items()}
+    with mesh:
+        tsd, md = dp(ts, cam_b, gts, bg)
+
+    # per-chip losses at the same initial params (single-step metrics are
+    # computed pre-update)
+    per = [float(single(ts, cam_in, gts[i], bg)[1]["loss"]) for i in range(NDEV)]
+    np.testing.assert_allclose(float(md["loss"]), np.mean(per), rtol=1e-5)
+    for leaf in jax.tree.leaves(tsd.anchors.params()):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_dp_second_step_advances(setup):
+    mc, oc, rc, ts, gt, cam_in, mesh = setup
+    bg = jnp.zeros(3)
+    dp = make_dp_train_step(mesh, mc, oc, rc, W, H)
+    cam_b, gt_b = _batch(cam_in, gt, NDEV)
+    with mesh:
+        ts2, m2 = dp(ts, cam_b, gt_b, bg)
+        ts3, m3 = dp(ts2, cam_b, gt_b, bg)
+    assert int(ts3.step) == 2
+    assert np.isfinite(float(m3["loss"]))
+    assert float(m3["loss"]) < float(m2["loss"]) + 0.05
