@@ -1,0 +1,99 @@
+"""Standalone native-tracker accuracy check on a Replica-layout dataset.
+
+Runs the RGB-D (or mono) tracker over the sequence without the mapper and
+reports ATE RMSE of (a) the online per-frame poses and (b) the final
+post-BA/post-loop keyframe trajectory, against dataset ground truth.
+
+Usage: python scripts/eval_tracker.py --path /root/data/synth_room \
+           [--mono] [--max-frames N] [--fx ... --fy ... --cx ... --cy ...]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from segs_slam_tpu.io import datasets
+from segs_slam_tpu.eval.metrics import ate_rmse
+from segs_slam_tpu.native import NativeTracker, native_available
+
+
+def quat_to_R(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--path", required=True)
+    p.add_argument("--mono", action="store_true")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--fx", type=float, default=576.0)
+    p.add_argument("--fy", type=float, default=576.0)
+    p.add_argument("--cx", type=float, default=320.0)
+    p.add_argument("--cy", type=float, default=240.0)
+    p.add_argument("--depth-scale", type=float, default=6553.5)
+    args = p.parse_args()
+
+    assert native_available()
+    frames = datasets.load_replica(args.path)
+    if args.max_frames:
+        frames = frames[: args.max_frames]
+    tracker = NativeTracker(args.fx, args.fy, args.cx, args.cy)
+
+    est_centers, gt_centers = [], []
+    fed = []
+    n_kf = 0
+    t0 = time.perf_counter()
+    for i, fr in enumerate(frames):
+        rgb = fr.load_rgb()
+        gray = (rgb.mean(axis=2) * 255).astype(np.uint8)
+        fed.append(i)
+        if args.mono:
+            status, pose7, n_inl = tracker.track_mono(gray)
+        else:
+            depth = fr.load_depth(args.depth_scale)
+            status, pose7, n_inl = tracker.track(gray, depth)
+        if status == 1:
+            n_kf += 1
+        loop = tracker.poll_loop()
+        if loop >= 0:
+            print(f"frame {i}: LOOP CLOSURE vs kf {loop}")
+        q, t = pose7[3:7], pose7[0:3]
+        R = quat_to_R(q)
+        est_centers.append(-R.T @ t)
+        Rg = quat_to_R(fr.quat)
+        gt_centers.append(-Rg.T @ np.asarray(fr.trans))
+    dt = time.perf_counter() - t0
+
+    est = np.stack(est_centers)
+    gt = np.stack(gt_centers)
+    ate_online = ate_rmse(est, gt, correct_scale=args.mono)
+
+    ids, fnos, poses = tracker.trajectory()
+    kf_est, kf_gt = [], []
+    for fno, p7 in zip(fnos, poses):
+        fi = fed[fno]
+        R = quat_to_R(p7[3:7])
+        kf_est.append(-R.T @ p7[0:3])
+        Rg = quat_to_R(frames[fi].quat)
+        kf_gt.append(-Rg.T @ np.asarray(frames[fi].trans))
+    ate_final = ate_rmse(np.stack(kf_est), np.stack(kf_gt),
+                         correct_scale=args.mono)
+
+    print(f"frames={len(frames)} keyframes={n_kf} "
+          f"fps={len(frames) / dt:.1f}")
+    print(f"ATE online (all frames): {ate_online["ate_rmse"]:.4f} m"
+          f"{' (scale-corrected)' if args.mono else ''}")
+    print(f"ATE final trajectory ({len(ids)} kfs): {ate_final["ate_rmse"]:.4f} m")
+
+
+if __name__ == "__main__":
+    main()

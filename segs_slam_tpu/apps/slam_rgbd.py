@@ -69,7 +69,19 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
 
         tracker = NativeTracker(camera.fx, camera.fy, camera.cx, camera.cy)
 
-    def push_keyframe(i, fr, rgb, depth, quat, trans, kp=None):
+    fed_frames: list[int] = []  # tracker frame_no -> dataset frame index
+
+    def _tracker_pose_updates(frame_nos, poses7):
+        """Map native frame ordinals to dataset frame ids (the mapper's
+        keyframe ids) and convert pose7 rows to (quat, trans)."""
+        updates = {}
+        for fno, p in zip(frame_nos, poses7):
+            if 0 <= fno < len(fed_frames):
+                updates[fed_frames[fno]] = (p[3:7].copy(), p[0:3].copy())
+        return updates
+
+    def push_keyframe(i, fr, rgb, depth, quat, trans, kp=None,
+                      pose_updates=None):
         kfd = KeyframeData(
             kf_id=i, camera_id=camera.camera_id, quat=quat, trans=trans,
             image=rgb, depth=depth, timestamp=fr.timestamp,
@@ -78,6 +90,8 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
         )
         op = MappingOperation(kind=OperationKind.LOCAL_MAPPING_BA,
                               keyframes=[kfd])
+        if pose_updates:
+            op.pose_updates = pose_updates
         if depth is not None:
             pts = frontends.backproject_depth(depth, camera, quat, trans,
                                               0.05, 20.0, stride=8)
@@ -113,13 +127,24 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
             time.sleep(frame_interval)
         fr = frames[i]
         t0 = time.perf_counter()
+        pose_updates = None
+        loop_cand = -1
         if tracker is not None and depth is not None:
+            fed_frames.append(i)
             gray = (rgb.mean(axis=2) * 255).astype(np.uint8)
             status, pose7, _ = tracker.track(gray, depth)
             quat = pose7[3:7]
             trans = pose7[0:3]
             is_kf = status == 1
-            kp = tracker.keyframe_points() if is_kf else None
+            if is_kf:
+                kp = tracker.keyframe_points()
+                # post-BA window poses → LOCAL_MAPPING_BA pose refreshes
+                # (reference: LocalMapping.cc:149-160)
+                _, fnos, poses = tracker.window_poses()
+                pose_updates = _tracker_pose_updates(fnos, poses)
+                loop_cand = tracker.poll_loop()
+            else:
+                kp = None
         else:  # pose oracle from the dataset ground truth
             quat, trans = fr.quat, fr.trans
             is_kf = i % keyframe_every == 0
@@ -128,7 +153,35 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
         est_rows.append((fr.timestamp, quat.copy(), np.asarray(trans).copy()))
         if is_kf:
             push_keyframe(i, fr, rgb, depth, np.asarray(quat),
-                          np.asarray(trans), kp)
+                          np.asarray(trans), kp, pose_updates)
+        if loop_cand >= 0:
+            # trajectory was rigidly corrected: refresh every keyframe pose
+            # (reference: LoopClosing.cc:1201 pushes LoopClosingBA)
+            _, fnos, poses = tracker.trajectory()
+            op = MappingOperation(kind=OperationKind.LOOP_CLOSING_BA)
+            op.pose_updates = _tracker_pose_updates(fnos, poses)
+            queue.push(op)
+            print(f"[tracker] loop closure at frame {i} "
+                  f"(candidate kf {loop_cand}), "
+                  f"{len(op.pose_updates)} poses corrected", flush=True)
+
+    if tracker is not None:
+        # final-trajectory pose rewrite at shutdown: every mapped keyframe
+        # adopts its final optimized pose before the tail optimization
+        # (reference: src/gaussian_mapper.cpp:684-761)
+        _, fnos, poses = tracker.trajectory()
+        op = MappingOperation(kind=OperationKind.LOCAL_MAPPING_BA)
+        op.pose_updates = _tracker_pose_updates(fnos, poses)
+        queue.push(op)
+        # overwrite est_rows poses for keyframe frames with final poses
+        final = {fed_frames[f]: p for f, p in zip(fnos, poses)
+                 if 0 <= f < len(fed_frames)}
+        for j, (ts, q, t) in enumerate(est_rows):
+            # est_rows is indexed by feed order == fed_frames order
+            fi = fed_frames[j] if j < len(fed_frames) else None
+            if fi in final:
+                p = final[fi]
+                est_rows[j] = (ts, p[3:7].copy(), p[0:3].copy())
     return est_rows
 
 

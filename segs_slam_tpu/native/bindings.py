@@ -86,6 +86,16 @@ def _load():
     lib.sg_tracker_keyframe_points.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
     ]
+    for fn in ("sg_tracker_window_poses", "sg_tracker_trajectory"):
+        f = getattr(lib, fn)
+        f.restype = ctypes.c_int
+        f.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+        ]
+    lib.sg_tracker_poll_loop.restype = ctypes.c_int
+    lib.sg_tracker_poll_loop.argtypes = [ctypes.c_void_p]
     lib.sg_tracker_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -209,6 +219,33 @@ class NativeTracker:
             self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_n
         )
         return buf[:n].copy()
+
+    def _poses(self, fn, max_n):
+        ids = np.empty(max_n, np.int32)
+        frame_nos = np.empty(max_n, np.int32)
+        poses = np.empty((max_n, 7), np.float64)
+        n = fn(
+            self._h,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            frame_nos.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            poses.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            max_n,
+        )
+        return ids[:n].copy(), frame_nos[:n].copy(), poses[:n].copy()
+
+    def window_poses(self, max_n: int = 16):
+        """Post-BA poses of the current keyframe window: (kf_ids, frame_nos,
+        (n,7) poses as tx ty tz qw qx qy qz world-to-camera)."""
+        return self._poses(self._lib.sg_tracker_window_poses, max_n)
+
+    def trajectory(self, max_n: int = 100_000):
+        """All keyframe poses (post-BA / post-loop-correction)."""
+        return self._poses(self._lib.sg_tracker_trajectory, max_n)
+
+    def poll_loop(self) -> int:
+        """Candidate kf id of the latest loop closure since the last poll,
+        or -1. A non-negative value means the trajectory was corrected."""
+        return self._lib.sg_tracker_poll_loop(self._h)
 
     def __del__(self):
         try:

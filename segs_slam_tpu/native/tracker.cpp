@@ -1,15 +1,31 @@
-// Native RGB-D visual odometry frontend (ORB + PnP RANSAC).
+// Native visual-odometry/SLAM frontend (ORB + PnP RANSAC + windowed BA +
+// lightweight loop closing).
 //
 // A compact C++ tracking frontend filling the architectural slot of the
-// reference's ORB-SLAM3 tracking thread (reference: ORB-SLAM3/src/Tracking.cc
-// — ORB features, local-map pose tracking, keyframe decision). This is a
-// from-scratch frame-to-local-map tracker, not a port: ORB detection and
-// matching (OpenCV) against a sliding window of recent keyframes whose
-// depth-backed keypoints live in WORLD coordinates, EPnP RANSAC +
-// Levenberg-Marquardt refinement recovering the absolute world-to-camera
-// pose (no relative-pose chaining inside the window), and a keyframe policy
-// on baseline/rotation/match attrition. It produces the per-keyframe payload
-// the MappingOperation protocol carries (pose + keypoints + camera-local 3D).
+// reference's ORB-SLAM3 tracking + local-mapping + loop-closing threads
+// (reference: ORB-SLAM3/src/Tracking.cc, LocalMapping.cc:149-160 — pose
+// refreshes pushed after every local BA — and LoopClosing.cc:1201 — loop
+// corrections pushed as LoopClosingBA mapping operations). This is a
+// from-scratch design, not a port:
+//
+//   * one persistent map-point store shared by the RGB-D and monocular
+//     paths (observations carry an optional metric depth measurement)
+//   * frame-to-map tracking: EPnP RANSAC + LM refinement against the alive
+//     map points (global descriptor matching for RGB-D, projection-guided
+//     matching for mono)
+//   * windowed local bundle adjustment: Gauss-Newton with Schur-complement
+//     point marginalization and Huber-weighted reprojection residuals;
+//     RGB-D observations add depth residuals (disparity-pixel units) that
+//     pin scale, so only ONE gauge pose is fixed; mono fixes TWO poses
+//     (similarity gauge)
+//   * a global keyframe registry (capped descriptor bag + world points per
+//     keyframe) used for place recognition: descriptor-set matching against
+//     past keyframes, PnP geometric verification, and a distributed SE3
+//     trajectory correction — the lightweight stand-in for DBoW2 + pose
+//     graph optimization
+//   * pose export APIs so the Python producer can emit LOCAL_MAPPING_BA
+//     pose refreshes, LOOP_CLOSING_BA corrections, and the final-trajectory
+//     rewrite at shutdown (reference: src/gaussian_mapper.cpp:684-761)
 //
 // C ABI for ctypes; all matrices row-major float64/float32.
 
@@ -27,37 +43,37 @@
 
 namespace {
 
-struct KeyframeRef {
-  std::vector<cv::KeyPoint> kps;
-  cv::Mat desc;                        // descriptors of depth-valid kps only
-  std::vector<cv::Point3f> pts_world;  // world-frame 3D per descriptor row
-  std::vector<cv::Point3f> pts_cam;    // camera-local 3D (keyframe payload)
-  std::vector<cv::Point2f> px;         // pixels per descriptor row
-  cv::Mat R_wc;
-  cv::Mat t_wc;
-  // mono: the FULL feature set (not just the 3D-backed subset) so the next
-  // keyframe can triangulate fresh map points against this one
-  std::vector<cv::KeyPoint> all_kps;
-  cv::Mat all_desc;
+// --- persistent map structures (shared by RGB-D and mono paths) ---
+
+struct Obs {
+  int kf;           // keyframe id
+  cv::Point2f px;   // observed pixel
+  double z;         // measured depth (meters); <= 0 → no depth measurement
 };
 
-
-// --- monocular map structures (persistent points for local BA) ---
-
-struct MonoPoint {
+struct MapPoint {
   cv::Mat X;     // 3x1 CV_64F, world
   cv::Mat desc;  // 1xD, most recent view
-  std::vector<std::pair<int, cv::Point2f>> obs;  // (kf_id, pixel)
+  std::vector<Obs> obs;
   int last_kf = -1;
   int last_seen_frame = 0;  // last frame where this point was a PnP inlier
   bool dead = false;
 };
 
-struct MonoKF {
+struct WinKF {  // BA window member: full feature set for triangulation
   int id;
   cv::Mat R, t;  // world-to-camera
   std::vector<cv::KeyPoint> kps;
   cv::Mat desc;
+};
+
+struct GlobalKF {  // persistent registry row: place recognition + trajectory
+  int id;
+  int frame_no;                    // ordinal of the track() call that made it
+  cv::Mat R, t;                    // world-to-camera, kept current by BA/loops
+  cv::Mat desc;                    // capped descriptor bag
+  std::vector<cv::Point3f> pts_w;  // world points per descriptor row
+  std::vector<cv::Point2f> px;     // pixels per descriptor row
 };
 
 struct Tracker {
@@ -69,23 +85,34 @@ struct Tracker {
   // keyframe policy
   double kf_min_translation = 0.08;   // meters from the last keyframe
   double kf_min_rotation_deg = 8.0;   // degrees
-  double kf_min_match_ratio = 0.45;   // inliers vs local-map points
-  size_t window = 5;                  // local-map keyframe window
+  double kf_min_match_ratio = 0.45;   // inliers vs local-map matches
+  size_t window = 5;                  // BA keyframe window
 
-  std::deque<KeyframeRef> kfs;
   cv::Mat R_cur, t_cur;  // world-to-camera of the latest tracked frame
   int frames_since_kf = 0;
+  int frame_counter = 0;  // total track() calls (frame_no source)
 
-  // mono state
+  // unified map state
+  std::vector<MapPoint> mpts;
+  std::deque<WinKF> wkfs;       // BA window
+  std::vector<GlobalKF> gkfs;   // full keyframe registry
+  int next_kf_id = 0;
+
+  // mono bootstrap state
+  bool is_mono = false;
   bool mono_initialized = false;
   std::vector<cv::KeyPoint> init_kps;  // bootstrap reference frame
   cv::Mat init_desc;
   double mono_map_depth = 2.0;  // median depth the init map is scaled to
   int reject_streak = 0;        // consecutive pose-jump rejections
-  std::vector<MonoPoint> mpts;  // persistent mono map points
-  std::deque<MonoKF> mkfs;      // mono keyframe window (full features)
-  int next_kf_id = 0;
-  int mono_frame = 0;
+
+  // loop closing
+  int loop_min_gap = 25;        // keyframes between query and candidate
+  int loop_cooldown = 20;       // keyframes to wait after a closure
+  int last_loop_kf = -1000000;
+  int loop_closed_at = -1;      // candidate kf id of the latest closure (poll)
+  int loop_matches_min = 40;
+  int loop_inliers_min = 25;
 };
 
 double rotation_angle_deg(const cv::Mat& R) {
@@ -131,11 +158,47 @@ void quat_from_R(const cv::Mat& R, double* q) {
   q[3] = qz;
 }
 
+// Robust depth sample: median of the valid 3x3 neighborhood, rejected near
+// depth discontinuities (ORB corners sit on intensity edges, which are very
+// often ALSO depth edges — a nearest-pixel sample there straddles fore/back-
+// ground and biases every world point built from it).
+double sample_depth(const float* depth, int w, int h, float px, float py,
+                    double dmin, double dmax) {
+  int u = static_cast<int>(px + 0.5f), v = static_cast<int>(py + 0.5f);
+  if (u < 1 || u >= w - 1 || v < 1 || v >= h - 1) return 0.0;
+  float vals[9];
+  int n = 0;
+  for (int dy = -1; dy <= 1; ++dy)
+    for (int dx = -1; dx <= 1; ++dx) {
+      float z = depth[(v + dy) * w + (u + dx)];
+      if (z > dmin && z < dmax) vals[n++] = z;
+    }
+  if (n < 7) return 0.0;  // touching an invalid region
+  std::nth_element(vals, vals + n / 2, vals + n);
+  float med = vals[n / 2];
+  float lo = *std::min_element(vals, vals + n);
+  float hi = *std::max_element(vals, vals + n);
+  if ((hi - lo) > 0.05 * med) return 0.0;  // depth discontinuity
+  return med;
+}
+
+void write_pose7(const cv::Mat& R, const cv::Mat& t, double* pose_out) {
+  double q[4];
+  quat_from_R(R, q);
+  pose_out[0] = t.at<double>(0);
+  pose_out[1] = t.at<double>(1);
+  pose_out[2] = t.at<double>(2);
+  pose_out[3] = q[0];
+  pose_out[4] = q[1];
+  pose_out[5] = q[2];
+  pose_out[6] = q[3];
+}
+
 // Triangulate crossCheck-matched features between the previous mono
 // keyframe and the current frame, gated on cheirality, two-view reprojection
 // (2 px) and parallax (1 deg). Returns current-frame rows, world points, and
 // the matching previous-keyframe pixels (for the second BA observation).
-void triangulate_new_points_mono(const cv::Mat& K, const MonoKF& last,
+void triangulate_new_points_mono(const cv::Mat& K, const WinKF& last,
                                  const std::vector<cv::KeyPoint>& kps,
                                  const cv::Mat& desc, const cv::Mat& R,
                                  const cv::Mat& t, cv::BFMatcher* matcher,
@@ -191,16 +254,18 @@ void triangulate_new_points_mono(const cv::Mat& K, const MonoKF& last,
   }
 }
 
-// Local bundle adjustment over the mono keyframe window: Gauss-Newton with
-// point marginalization (Schur complement), Huber-weighted reprojection
-// residuals, the two OLDEST window poses held fixed as the gauge (freezing
-// two poses pins both the similarity frame and the scale, which a
-// single-fixed-pose mono BA leaves free to collapse). The dense Schur system
-// is at most 6*(window-2) = 18x18 — trivially solvable; the cost per
-// iteration is linear in the observation count.
-void mono_local_ba(Tracker* T, const cv::Mat& K, int iters = 8) {
-  const int nc = static_cast<int>(T->mkfs.size());
-  const int nfix = 2;
+// Local bundle adjustment over the keyframe window: Gauss-Newton with point
+// marginalization (Schur complement) and Huber-weighted reprojection
+// residuals. `nfix` oldest window poses are held fixed as the gauge: mono
+// fixes TWO (freezing two poses pins both the similarity frame and the
+// scale, which a single-fixed-pose mono BA leaves free to collapse); RGB-D
+// fixes ONE because observations with measured depth contribute depth
+// residuals r_z = (z_pred - z_meas) * fx / z_meas (disparity-pixel units,
+// commensurate with the 2-px reprojection residuals) that pin scale. The
+// dense Schur system is at most 6*(window-1) = 24x24 — trivially solvable;
+// the cost per iteration is linear in the observation count.
+void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
+  const int nc = static_cast<int>(T->wkfs.size());
   const int nfree = nc - nfix;
   if (nfree < 1) return;
   std::vector<int> pts;
@@ -212,24 +277,24 @@ void mono_local_ba(Tracker* T, const cv::Mat& K, int iters = 8) {
   const double fx = K.at<double>(0, 0), fy = K.at<double>(1, 1);
   const double cx = K.at<double>(0, 2), cy = K.at<double>(1, 2);
   const double huber = 2.5;
+  const double huber_z = 4.0;  // disparity-pixel units
 
   std::vector<int> id2ci(T->next_kf_id, -1);
-  for (int i = 0; i < nc; ++i) id2ci[T->mkfs[i].id] = i;
+  for (int i = 0; i < nc; ++i) id2ci[T->wkfs[i].id] = i;
 
   auto mean_err = [&]() {
     double sum = 0;
     int n = 0;
     for (int j : pts) {
       for (const auto& o : T->mpts[j].obs) {
-        int ci = (o.first < static_cast<int>(id2ci.size())) ? id2ci[o.first]
-                                                            : -1;
+        int ci = (o.kf < static_cast<int>(id2ci.size())) ? id2ci[o.kf] : -1;
         if (ci < 0) continue;
-        const MonoKF& kf = T->mkfs[ci];
+        const WinKF& kf = T->wkfs[ci];
         cv::Mat Xc = kf.R * T->mpts[j].X + kf.t;
         double z = Xc.at<double>(2);
         if (z < 1e-6) continue;
-        sum += std::hypot(fx * Xc.at<double>(0) / z + cx - o.second.x,
-                          fy * Xc.at<double>(1) / z + cy - o.second.y);
+        sum += std::hypot(fx * Xc.at<double>(0) / z + cx - o.px.x,
+                          fy * Xc.at<double>(1) / z + cy - o.px.y);
         n++;
       }
     }
@@ -253,16 +318,15 @@ void mono_local_ba(Tracker* T, const cv::Mat& K, int iters = 8) {
       cv::Mat gp = cv::Mat::zeros(3, 1, CV_64F);
       auto& dat = pd[pj];
       for (const auto& o : mp.obs) {
-        int ci = (o.first < static_cast<int>(id2ci.size()))
-                     ? id2ci[o.first] : -1;
+        int ci = (o.kf < static_cast<int>(id2ci.size())) ? id2ci[o.kf] : -1;
         if (ci < 0) continue;
-        const MonoKF& kf = T->mkfs[ci];
+        const WinKF& kf = T->wkfs[ci];
         cv::Mat Xc = kf.R * mp.X + kf.t;
         double x = Xc.at<double>(0), y = Xc.at<double>(1),
                z = Xc.at<double>(2);
         if (z < 1e-6) continue;
-        cv::Mat r = (cv::Mat_<double>(2, 1) << fx * x / z + cx - o.second.x,
-                     fy * y / z + cy - o.second.y);
+        cv::Mat r = (cv::Mat_<double>(2, 1) << fx * x / z + cx - o.px.x,
+                     fy * y / z + cy - o.px.y);
         double e = cv::norm(r);
         double wgt = (e <= huber) ? 1.0 : huber / e;
         cv::Mat Jpi = (cv::Mat_<double>(2, 3) << fx / z, 0, -fx * x / (z * z),
@@ -271,11 +335,11 @@ void mono_local_ba(Tracker* T, const cv::Mat& K, int iters = 8) {
         B += wgt * Jp.t() * Jp;
         gp -= wgt * Jp.t() * r;
         int fi = ci - nfix;
+        cv::Mat Jc, skew;
         if (fi >= 0) {
           // left-increment se3: dXc/d(dtheta) = -[Xc]x, dXc/d(dt) = I
-          cv::Mat Jc(2, 6, CV_64F);
-          cv::Mat skew = (cv::Mat_<double>(3, 3) << 0, -z, y, z, 0, -x,
-                          -y, x, 0);
+          Jc.create(2, 6, CV_64F);
+          skew = (cv::Mat_<double>(3, 3) << 0, -z, y, z, 0, -x, -y, x, 0);
           cv::Mat Jth = Jpi * (-skew);
           Jth.copyTo(Jc.colRange(0, 3));
           Jpi.copyTo(Jc.colRange(3, 6));
@@ -283,6 +347,28 @@ void mono_local_ba(Tracker* T, const cv::Mat& K, int iters = 8) {
           rhs.rowRange(6 * fi, 6 * fi + 6) -= wgt * Jc.t() * r;
           dat.cams.push_back(fi);
           dat.C.push_back(wgt * Jc.t() * Jp);  // 6x3
+        }
+        if (o.z > 0) {  // depth residual (RGB-D): pins scale + structure
+          double sz = fx / o.z;  // meters → disparity-pixel units
+          double rz = (z - o.z) * sz;
+          double wz = (std::abs(rz) <= huber_z) ? 1.0 : huber_z / std::abs(rz);
+          // d z(Xc) / d X = row 2 of kf.R ; /d(dtheta) = row 2 of -skew(Xc)
+          cv::Mat Jzp = sz * kf.R.row(2);  // 1x3
+          B += wz * Jzp.t() * Jzp;
+          gp -= wz * Jzp.t() * rz;
+          if (fi >= 0) {
+            cv::Mat Jzc(1, 6, CV_64F);
+            Jzc.at<double>(0, 0) = sz * y;
+            Jzc.at<double>(0, 1) = sz * -x;
+            Jzc.at<double>(0, 2) = 0.0;
+            Jzc.at<double>(0, 3) = 0.0;
+            Jzc.at<double>(0, 4) = 0.0;
+            Jzc.at<double>(0, 5) = sz;
+            S(cv::Rect(6 * fi, 6 * fi, 6, 6)) += wz * Jzc.t() * Jzc;
+            rhs.rowRange(6 * fi, 6 * fi + 6) -= wz * Jzc.t() * rz;
+            // merge into the same C block (C is 6x3 per cam entry):
+            dat.C.back() += wz * Jzc.t() * Jzp;
+          }
         }
       }
       dat.Binv = B.inv();
@@ -306,7 +392,7 @@ void mono_local_ba(Tracker* T, const cv::Mat& K, int iters = 8) {
       cv::Mat dt = dc.rowRange(6 * fi + 3, 6 * fi + 6);
       cv::Mat dRm;
       cv::Rodrigues(dth, dRm);
-      MonoKF& kf = T->mkfs[fi + nfix];
+      WinKF& kf = T->wkfs[fi + nfix];
       kf.R = dRm * kf.R;
       kf.t = dRm * kf.t + dt;
     }
@@ -327,21 +413,209 @@ void mono_local_ba(Tracker* T, const cv::Mat& K, int iters = 8) {
   // outlier pruning: drop observations with gross reprojection error
   for (int j : pts) {
     auto& mp = T->mpts[j];
-    auto bad = [&](const std::pair<int, cv::Point2f>& o) {
-      int ci = (o.first < static_cast<int>(id2ci.size())) ? id2ci[o.first]
-                                                          : -1;
+    auto bad = [&](const Obs& o) {
+      int ci = (o.kf < static_cast<int>(id2ci.size())) ? id2ci[o.kf] : -1;
       if (ci < 0) return false;
-      const MonoKF& kf = T->mkfs[ci];
+      const WinKF& kf = T->wkfs[ci];
       cv::Mat Xc = kf.R * mp.X + kf.t;
       double z = Xc.at<double>(2);
       if (z < 1e-6) return true;
       double u = fx * Xc.at<double>(0) / z + cx;
       double v = fy * Xc.at<double>(1) / z + cy;
-      return std::hypot(u - o.second.x, v - o.second.y) > 5.0;
+      return std::hypot(u - o.px.x, v - o.px.y) > 5.0;
     };
     mp.obs.erase(std::remove_if(mp.obs.begin(), mp.obs.end(), bad),
                  mp.obs.end());
     if (mp.obs.empty()) mp.dead = true;
+  }
+
+  // propagate refined window poses into the global registry
+  for (const auto& kf : T->wkfs) {
+    if (kf.id < static_cast<int>(T->gkfs.size())) {
+      T->gkfs[kf.id].R = kf.R.clone();
+      T->gkfs[kf.id].t = kf.t.clone();
+    }
+  }
+}
+
+// --- loop closing ---------------------------------------------------------
+//
+// Place recognition: descriptor-set matching between the new keyframe's
+// capped descriptor bag and every registry keyframe at least loop_min_gap
+// keyframes older. Geometric verification: PnP RANSAC of the CANDIDATE's
+// world points (drift-free relative to the old map) against the current
+// keyframe's pixels. On acceptance the world-frame correction
+// G = T_corr^{-1} * T_est is distributed over the trajectory between the
+// candidate and the current keyframe (slerp on rotation, lerp on
+// translation), applied fully to the live map points and the tracking pose
+// (reference architecture: LoopClosing.cc — DBoW2 candidates, Sim3
+// verification, essential-graph correction).
+void try_close_loop(Tracker* T, const cv::Mat& K, GlobalKF& cur) {
+  if (cur.id - T->last_loop_kf < T->loop_cooldown) return;
+  if (cur.desc.empty()) return;
+
+  int best_cand = -1;
+  size_t best_score = 0;
+  std::vector<cv::DMatch> best_matches;
+  for (const auto& cand : T->gkfs) {
+    if (cand.id > cur.id - T->loop_min_gap) break;  // gkfs sorted by id
+    if (cand.desc.empty()) continue;
+    std::vector<cv::DMatch> matches;
+    T->matcher->match(cand.desc, cur.desc, matches);
+    size_t good = 0;
+    for (const auto& m : matches)
+      if (m.distance <= 50) good++;
+    if (good > best_score) {
+      best_score = good;
+      best_cand = cand.id;
+      best_matches = std::move(matches);
+    }
+  }
+  if (best_cand < 0 ||
+      best_score < static_cast<size_t>(T->loop_matches_min))
+    return;
+
+  const GlobalKF& cand = T->gkfs[best_cand];
+  std::vector<cv::Point3f> obj;
+  std::vector<cv::Point2f> scene;
+  for (const auto& m : best_matches) {
+    if (m.distance > 50) continue;
+    obj.push_back(cand.pts_w[m.queryIdx]);
+    scene.push_back(cur.px[m.trainIdx]);
+  }
+  if (obj.size() < static_cast<size_t>(T->loop_inliers_min)) return;
+
+  cv::Mat rvec, tvec;
+  std::vector<int> inliers;
+  bool ok = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rvec, tvec, false,
+                               200, 3.0, 0.995, inliers, cv::SOLVEPNP_EPNP);
+  if (!ok || static_cast<int>(inliers.size()) < T->loop_inliers_min) return;
+  {
+    std::vector<cv::Point3f> obj_in;
+    std::vector<cv::Point2f> scene_in;
+    for (int idx : inliers) {
+      obj_in.push_back(obj[idx]);
+      scene_in.push_back(scene[idx]);
+    }
+    cv::solvePnPRefineLM(obj_in, scene_in, K, cv::Mat(), rvec, tvec);
+  }
+  cv::Mat R_corr;
+  cv::Rodrigues(rvec, R_corr);
+  cv::Mat t_corr = tvec;
+
+  // world-frame correction: a point X seen at camera-local coords by the
+  // estimated pose must be seen at the SAME local coords by the corrected
+  // pose: T_corr X' = T_est X  →  X' = G X with G = T_corr^{-1} T_est.
+  cv::Mat G_R = R_corr.t() * cur.R;
+  cv::Mat G_t = R_corr.t() * (cur.t - t_corr);
+  double corr_t = cv::norm(G_t);
+  double corr_r = rotation_angle_deg(G_R);
+  if (getenv("SG_TRACKER_DEBUG"))
+    fprintf(stderr, "[loop] cand=%d score=%zu inl=%zu corr t=%.3f r=%.2f\n",
+            best_cand, best_score, inliers.size(), corr_t, corr_r);
+  if (corr_t < 0.01 && corr_r < 0.5) {  // drift negligible; skip
+    T->last_loop_kf = cur.id;
+    return;
+  }
+  if (corr_t > 2.0 || corr_r > 45.0) return;  // implausible; likely aliasing
+
+  // distribute over the trajectory: fraction 0 at the candidate, 1 at cur.
+  // pose P (world→cam) corrects as P' = P G_a^{-1} where G_a is the
+  // fractional world correction (slerp/lerp of G).
+  double qG[4];
+  quat_from_R(G_R, qG);
+  double ang = 2.0 * std::acos(std::min(1.0, std::abs(qG[0])));
+  double axis[3] = {qG[1], qG[2], qG[3]};
+  double axn = std::sqrt(axis[0] * axis[0] + axis[1] * axis[1] +
+                         axis[2] * axis[2]);
+  if (axn > 1e-12) {
+    double sgn = qG[0] < 0 ? -1.0 : 1.0;
+    for (double& a : axis) a *= sgn / axn;
+  }
+  auto frac_G = [&](double a, cv::Mat* Ra, cv::Mat* ta) {
+    cv::Mat rv = (cv::Mat_<double>(3, 1) << axis[0] * ang * a,
+                  axis[1] * ang * a, axis[2] * ang * a);
+    cv::Rodrigues(rv, *Ra);
+    *ta = a * G_t;
+  };
+
+  const int span = std::max(1, cur.id - best_cand);
+  for (auto& g : T->gkfs) {
+    if (g.id <= best_cand) continue;
+    double a =
+        std::min(1.0, static_cast<double>(g.id - best_cand) / span);
+    cv::Mat Ra, ta;
+    frac_G(a, &Ra, &ta);
+    // P' = P * G_a^{-1}:  R' = R Ra^T,  t' = t - R' ta
+    g.R = g.R * Ra.t();
+    g.t = g.t - g.R * ta;
+    // correct the registry's world points with the same fractional G
+    // (they were created from this keyframe's depth/pose)
+    for (auto& p : g.pts_w) {
+      cv::Mat X = (cv::Mat_<double>(3, 1) << p.x, p.y, p.z);
+      cv::Mat Xc = Ra * X + ta;
+      p = cv::Point3f(static_cast<float>(Xc.at<double>(0)),
+                      static_cast<float>(Xc.at<double>(1)),
+                      static_cast<float>(Xc.at<double>(2)));
+    }
+  }
+  // live map points + window poses + tracking pose get the full correction
+  for (auto& mp : T->mpts) {
+    if (mp.dead) continue;
+    mp.X = G_R * mp.X + G_t;
+  }
+  for (auto& kf : T->wkfs) {
+    if (kf.id < static_cast<int>(T->gkfs.size())) {
+      kf.R = T->gkfs[kf.id].R.clone();
+      kf.t = T->gkfs[kf.id].t.clone();
+    }
+  }
+  cur.R = T->gkfs[cur.id].R.clone();
+  cur.t = T->gkfs[cur.id].t.clone();
+  T->R_cur = cur.R.clone();
+  T->t_cur = cur.t.clone();
+  T->last_loop_kf = cur.id;
+  T->loop_closed_at = best_cand;
+}
+
+// capped descriptor bag + world points for the registry row
+void fill_global_kf(Tracker* T, GlobalKF* g,
+                    const std::vector<cv::KeyPoint>& kps, const cv::Mat& desc,
+                    const float* depth, int w, int h, const cv::Mat& R,
+                    const cv::Mat& t, int cap = 300) {
+  cv::Mat C2W_R = R.t();
+  cv::Mat cam_center = -C2W_R * t;
+  std::vector<std::pair<int, double>> rows;  // (kp index, robust depth)
+  for (size_t i = 0; i < kps.size(); ++i) {
+    double z = depth ? sample_depth(depth, w, h, kps[i].pt.x, kps[i].pt.y,
+                                    T->min_depth, T->max_depth)
+                     : 0.0;
+    if (z <= 0) continue;
+    rows.push_back({static_cast<int>(i), z});
+  }
+  // keep the strongest-response subset when over cap
+  if (static_cast<int>(rows.size()) > cap) {
+    std::nth_element(rows.begin(), rows.begin() + cap, rows.end(),
+                     [&](const std::pair<int, double>& a,
+                         const std::pair<int, double>& b) {
+                       return kps[a.first].response > kps[b.first].response;
+                     });
+    rows.resize(cap);
+  }
+  g->desc.create(static_cast<int>(rows.size()), desc.cols, desc.type());
+  g->pts_w.reserve(rows.size());
+  g->px.reserve(rows.size());
+  for (size_t r = 0; r < rows.size(); ++r) {
+    int i = rows[r].first;
+    double z = rows[r].second;
+    desc.row(i).copyTo(g->desc.row(static_cast<int>(r)));
+    cv::Mat pc = (cv::Mat_<double>(3, 1) << (kps[i].pt.x - T->cx) / T->fx * z,
+                  (kps[i].pt.y - T->cy) / T->fy * z, z);
+    cv::Mat pw = C2W_R * pc + cam_center;
+    g->pts_w.push_back(cv::Point3f(static_cast<float>(pw.at<double>(0)),
+                                   static_cast<float>(pw.at<double>(1)),
+                                   static_cast<float>(pw.at<double>(2))));
+    g->px.push_back(kps[i].pt);
   }
 }
 
@@ -377,98 +651,167 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
                      int* n_inliers_out) {
   auto* T = static_cast<Tracker*>(handle);
   cv::Mat img(h, w, CV_8UC1, const_cast<unsigned char*>(gray));
+  const int frame_no = T->frame_counter++;
 
   std::vector<cv::KeyPoint> kps;
   cv::Mat desc;
   T->orb->detectAndCompute(img, cv::noArray(), kps, desc);
 
-  auto make_kf = [&](const cv::Mat& R, const cv::Mat& t) {
-    KeyframeRef kf;
-    kf.R_wc = R.clone();
-    kf.t_wc = t.clone();
+  cv::Mat K = (cv::Mat_<double>(3, 3) << T->fx, 0, T->cx, 0, T->fy, T->cy,
+               0, 0, 1);
+
+  // create a keyframe at pose (R, t): re-observations for PnP inliers,
+  // fresh map points from depth for unmatched keypoints, window push,
+  // BA (1 fixed gauge pose — depth pins scale), registry row, loop check.
+  auto make_kf = [&](const cv::Mat& R, const cv::Mat& t,
+                     const std::vector<int>* inlier_mp,
+                     const std::vector<int>* inlier_row) {
+    int kf_id = T->next_kf_id++;
     cv::Mat C2W_R = R.t();
     cv::Mat cam_center = -C2W_R * t;
-    std::vector<int> rows;
-    for (size_t i = 0; i < kps.size(); ++i) {
-      int u = static_cast<int>(kps[i].pt.x + 0.5f);
-      int v = static_cast<int>(kps[i].pt.y + 0.5f);
-      float z = (u >= 0 && u < w && v >= 0 && v < h) ? depth[v * w + u] : 0.f;
-      if (!(z > T->min_depth && z < T->max_depth)) continue;
-      cv::Point3f p_cam(static_cast<float>((kps[i].pt.x - T->cx) / T->fx * z),
-                        static_cast<float>((kps[i].pt.y - T->cy) / T->fy * z),
-                        z);
-      cv::Mat pc = (cv::Mat_<double>(3, 1) << p_cam.x, p_cam.y, p_cam.z);
-      cv::Mat pw = C2W_R * pc + cam_center;
-      kf.kps.push_back(kps[i]);
-      kf.px.push_back(kps[i].pt);
-      kf.pts_cam.push_back(p_cam);
-      kf.pts_world.push_back(cv::Point3f(
-          static_cast<float>(pw.at<double>(0)),
-          static_cast<float>(pw.at<double>(1)),
-          static_cast<float>(pw.at<double>(2))));
-      rows.push_back(static_cast<int>(i));
+
+    std::vector<bool> used(kps.size(), false);
+    if (inlier_mp) {
+      for (size_t k = 0; k < inlier_mp->size(); ++k) {
+        int row = (*inlier_row)[k];
+        if (used[row]) continue;
+        used[row] = true;
+        auto& mp = T->mpts[(*inlier_mp)[k]];
+        double zm = sample_depth(depth, w, h, kps[row].pt.x, kps[row].pt.y,
+                                 T->min_depth, T->max_depth);
+        mp.obs.push_back({kf_id, kps[row].pt, zm});
+        mp.desc = desc.row(row).clone();
+        mp.last_kf = kf_id;
+        mp.last_seen_frame = frame_no;
+      }
     }
-    kf.desc.create(static_cast<int>(rows.size()), desc.cols, desc.type());
-    for (size_t r = 0; r < rows.size(); ++r)
-      desc.row(rows[r]).copyTo(kf.desc.row(static_cast<int>(r)));
-    T->kfs.push_back(std::move(kf));
-    while (T->kfs.size() > T->window) T->kfs.pop_front();
+    for (size_t i = 0; i < kps.size(); ++i) {
+      if (used[i]) continue;
+      double z = sample_depth(depth, w, h, kps[i].pt.x, kps[i].pt.y,
+                              T->min_depth, T->max_depth);
+      if (z <= 0) continue;
+      cv::Mat pc = (cv::Mat_<double>(3, 1) << (kps[i].pt.x - T->cx) / T->fx * z,
+                    (kps[i].pt.y - T->cy) / T->fy * z, z);
+      MapPoint mp;
+      mp.X = C2W_R * pc + cam_center;
+      mp.desc = desc.row(static_cast<int>(i)).clone();
+      mp.obs.push_back({kf_id, kps[i].pt, static_cast<double>(z)});
+      mp.last_kf = kf_id;
+      mp.last_seen_frame = frame_no;
+      T->mpts.push_back(std::move(mp));
+    }
+
+    WinKF kf;
+    kf.id = kf_id;
+    kf.R = R.clone();
+    kf.t = t.clone();
+    kf.kps = kps;
+    kf.desc = desc.clone();
+    T->wkfs.push_back(std::move(kf));
+    while (T->wkfs.size() > T->window) T->wkfs.pop_front();
     T->frames_since_kf = 0;
+
+    // prune window-external observations; cull stale points
+    {
+      int oldest = T->wkfs.front().id;
+      std::vector<MapPoint> kept;
+      kept.reserve(T->mpts.size());
+      for (auto& mp : T->mpts) {
+        if (mp.dead || frame_no - mp.last_seen_frame > 60) continue;
+        auto it = std::remove_if(mp.obs.begin(), mp.obs.end(),
+                                 [&](const Obs& o) { return o.kf < oldest; });
+        mp.obs.erase(it, mp.obs.end());
+        // points with no in-window obs stay alive for PnP tracking until
+        // they go stale — culling them starves the local map
+        kept.push_back(std::move(mp));
+      }
+      T->mpts = std::move(kept);
+    }
+
+    GlobalKF g;
+    g.id = kf_id;
+    g.frame_no = frame_no;
+    g.R = R.clone();
+    g.t = t.clone();
+    fill_global_kf(T, &g, kps, desc, depth, w, h, R, t);
+    T->gkfs.push_back(std::move(g));
+
+    local_ba(T, K, /*nfix=*/1);
+    // adopt the BA-refined newest pose
+    T->R_cur = T->wkfs.back().R.clone();
+    T->t_cur = T->wkfs.back().t.clone();
+
+    try_close_loop(T, K, T->gkfs.back());
   };
 
-  auto write_pose = [&](const cv::Mat& R, const cv::Mat& t) {
-    double q[4];
-    quat_from_R(R, q);
-    pose_out[0] = t.at<double>(0);
-    pose_out[1] = t.at<double>(1);
-    pose_out[2] = t.at<double>(2);
-    pose_out[3] = q[0];
-    pose_out[4] = q[1];
-    pose_out[5] = q[2];
-    pose_out[6] = q[3];
-  };
-
-  if (T->kfs.empty()) {  // bootstrap: first frame = origin + first keyframe
-    make_kf(T->R_cur, T->t_cur);
-    write_pose(T->R_cur, T->t_cur);
+  if (T->gkfs.empty()) {  // bootstrap: first frame = origin + first keyframe
+    make_kf(T->R_cur, T->t_cur, nullptr, nullptr);
+    write_pose7(T->R_cur, T->t_cur, pose_out);
     *n_inliers_out = static_cast<int>(kps.size());
     return 1;
   }
 
-  // Local map: concatenated descriptors/world points of the window.
-  int total = 0;
-  for (const auto& kf : T->kfs) total += kf.desc.rows;
-  cv::Mat map_desc(total, desc.cols, desc.type());
-  std::vector<cv::Point3f> map_pts;
-  map_pts.reserve(total);
-  int off = 0;
-  for (const auto& kf : T->kfs) {
-    kf.desc.copyTo(map_desc.rowRange(off, off + kf.desc.rows));
-    map_pts.insert(map_pts.end(), kf.pts_world.begin(), kf.pts_world.end());
-    off += kf.desc.rows;
+  // Local map: descriptors/world points of recently-seen alive map points.
+  std::vector<int> active;
+  for (size_t i = 0; i < T->mpts.size(); ++i)
+    if (!T->mpts[i].dead && frame_no - T->mpts[i].last_seen_frame <= 60)
+      active.push_back(static_cast<int>(i));
+  if (getenv("SG_TRACKER_DEBUG"))
+    fprintf(stderr, "[rgbd] f=%d mpts=%zu active=%zu kps=%zu\n", frame_no,
+            T->mpts.size(), active.size(), kps.size());
+  if (active.size() < 12 || desc.empty()) {
+    *n_inliers_out = 0;
+    return -1;
   }
+  cv::Mat map_desc(static_cast<int>(active.size()), desc.cols, desc.type());
+  for (size_t i = 0; i < active.size(); ++i)
+    T->mpts[active[i]].desc.copyTo(map_desc.row(static_cast<int>(i)));
 
   std::vector<cv::DMatch> matches;
   T->matcher->match(map_desc, desc, matches);
 
   std::vector<cv::Point3f> obj;
   std::vector<cv::Point2f> scene;
+  std::vector<int> match_mp, match_row;
   for (const auto& mt : matches) {
-    obj.push_back(map_pts[mt.queryIdx]);
+    const cv::Mat& X = T->mpts[active[mt.queryIdx]].X;
+    obj.push_back(cv::Point3f(static_cast<float>(X.at<double>(0)),
+                              static_cast<float>(X.at<double>(1)),
+                              static_cast<float>(X.at<double>(2))));
     scene.push_back(kps[mt.trainIdx].pt);
+    match_mp.push_back(active[mt.queryIdx]);
+    match_row.push_back(mt.trainIdx);
   }
   if (obj.size() < 12) {
     *n_inliers_out = 0;
     return -1;
   }
 
-  cv::Mat K = (cv::Mat_<double>(3, 3) << T->fx, 0, T->cx, 0, T->fy, T->cy,
-               0, 0, 1);
+  // motion-prior ITERATIVE PnP first: depth-gated map points can be
+  // near-planar (edge corners rejected leave wall-interior points), which
+  // destabilizes unguided EPnP; the prior-seeded iterative solver is immune.
   cv::Mat rvec, tvec;
+  cv::Rodrigues(T->R_cur, rvec);
+  tvec = T->t_cur.clone();
   std::vector<int> inliers;
-  bool ok = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rvec, tvec, false,
+  bool ok = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rvec, tvec, true,
                                200, 3.0, 0.995, inliers,
-                               cv::SOLVEPNP_EPNP);
+                               cv::SOLVEPNP_ITERATIVE);
+  if (!ok || inliers.size() < 20) {
+    cv::Mat rv2, tv2;
+    std::vector<int> in2;
+    bool ok2 = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rv2, tv2, false,
+                                  200, 3.0, 0.995, in2, cv::SOLVEPNP_EPNP);
+    if (ok2 && in2.size() > inliers.size()) {
+      ok = ok2;
+      rvec = rv2;
+      tvec = tv2;
+      inliers = in2;
+    }
+  }
+  if (getenv("SG_TRACKER_DEBUG"))
+    fprintf(stderr, "[rgbd] f=%d matches=%zu pnp_ok=%d inliers=%zu\n",
+            frame_no, obj.size(), (int)ok, inliers.size());
   if (!ok || inliers.size() < 10) {
     *n_inliers_out = static_cast<int>(inliers.size());
     return -1;
@@ -490,22 +833,28 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   T->R_cur = R;
   T->t_cur = t;
   T->frames_since_kf++;
-  write_pose(R, t);
+  write_pose7(R, t, pose_out);
   *n_inliers_out = static_cast<int>(inliers.size());
+  for (int idx : inliers) T->mpts[match_mp[idx]].last_seen_frame = frame_no;
 
   // keyframe policy: displacement vs the LAST keyframe
-  const auto& last = T->kfs.back();
-  cv::Mat dR = R * last.R_wc.t();
+  const auto& last = T->wkfs.back();
+  cv::Mat dR = R * last.R.t();
   cv::Mat cam_center = -R.t() * t;
-  cv::Mat last_center = -last.R_wc.t() * last.t_wc;
+  cv::Mat last_center = -last.R.t() * last.t;
   double trans = cv::norm(cam_center - last_center);
   double rot = rotation_angle_deg(dR);
-  double match_ratio =
-      static_cast<double>(inliers.size()) /
-      std::max<size_t>(1, T->kfs.back().pts_world.size());
+  double match_ratio = static_cast<double>(inliers.size()) /
+                       std::max<size_t>(1, obj.size());
   if (trans > T->kf_min_translation || rot > T->kf_min_rotation_deg ||
       match_ratio < T->kf_min_match_ratio) {
-    make_kf(R, t);
+    std::vector<int> inl_mp, inl_row;
+    for (int idx : inliers) {
+      inl_mp.push_back(match_mp[idx]);
+      inl_row.push_back(match_row[idx]);
+    }
+    make_kf(R, t, &inl_mp, &inl_row);
+    write_pose7(T->R_cur, T->t_cur, pose_out);  // post-BA pose
     return 1;
   }
   return 0;
@@ -524,8 +873,10 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
 int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
                           int h, double* pose_out, int* n_inliers_out) {
   auto* T = static_cast<Tracker*>(handle);
+  T->is_mono = true;
   cv::Mat img(h, w, CV_8UC1, const_cast<unsigned char*>(gray));
   *n_inliers_out = 0;
+  const int frame_no = T->frame_counter++;
 
   std::vector<cv::KeyPoint> kps;
   cv::Mat desc;
@@ -534,16 +885,32 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
   cv::Mat K = (cv::Mat_<double>(3, 3) << T->fx, 0, T->cx, 0, T->fy, T->cy,
                0, 0, 1);
 
-  auto write_pose = [&](const cv::Mat& R, const cv::Mat& t) {
-    double q[4];
-    quat_from_R(R, q);
-    pose_out[0] = t.at<double>(0);
-    pose_out[1] = t.at<double>(1);
-    pose_out[2] = t.at<double>(2);
-    pose_out[3] = q[0];
-    pose_out[4] = q[1];
-    pose_out[5] = q[2];
-    pose_out[6] = q[3];
+  // mono registry row: descriptor bag only (no depth-backed world points;
+  // loop closing for mono uses map-point positions instead — see below)
+  auto push_global = [&](int kf_id, const cv::Mat& R, const cv::Mat& t,
+                         const std::vector<cv::KeyPoint>& gk,
+                         const cv::Mat& gd) {
+    GlobalKF g;
+    g.id = kf_id;
+    g.frame_no = frame_no;
+    g.R = R.clone();
+    g.t = t.clone();
+    int cap = std::min(300, gd.rows);
+    std::vector<int> rows(gd.rows);
+    for (int i = 0; i < gd.rows; ++i) rows[i] = i;
+    if (gd.rows > cap) {
+      std::nth_element(rows.begin(), rows.begin() + cap, rows.end(),
+                       [&](int a, int b) {
+                         return gk[a].response > gk[b].response;
+                       });
+      rows.resize(cap);
+    }
+    g.desc.create(static_cast<int>(rows.size()), gd.cols, gd.type());
+    for (size_t r = 0; r < rows.size(); ++r) {
+      gd.row(rows[r]).copyTo(g.desc.row(static_cast<int>(r)));
+      g.px.push_back(gk[rows[r]].pt);
+    }
+    T->gkfs.push_back(std::move(g));
   };
 
   // ---- bootstrap: two-view initialization ----
@@ -553,7 +920,7 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
         T->init_kps = kps;
         T->init_desc = desc.clone();
       }
-      write_pose(T->R_cur, T->t_cur);
+      write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
     std::vector<cv::DMatch> matches;
@@ -561,7 +928,7 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     if (matches.size() < 60) {  // scene changed too much: re-anchor
       T->init_kps = kps;
       T->init_desc = desc.clone();
-      write_pose(T->R_cur, T->t_cur);
+      write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
     std::vector<cv::Point2f> p0, p1;
@@ -578,19 +945,19 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
       med_disp = d[d.size() / 2];
     }
     if (med_disp < 0.02 * w) {  // not enough parallax yet
-      write_pose(T->R_cur, T->t_cur);
+      write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
     cv::Mat mask;
     cv::Mat E = cv::findEssentialMat(p0, p1, K, cv::RANSAC, 0.999, 1.0, mask);
     if (E.empty() || E.rows != 3) {
-      write_pose(T->R_cur, T->t_cur);
+      write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
     cv::Mat R, t;
     int good = cv::recoverPose(E, p0, p1, K, R, t, mask);
     if (good < 40) {
-      write_pose(T->R_cur, T->t_cur);
+      write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
     std::vector<cv::Point2f> q0, q1;
@@ -626,7 +993,7 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
       depths.push_back(X.z);
     }
     if (pts.size() < 30) {
-      write_pose(T->R_cur, T->t_cur);
+      write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
     std::nth_element(depths.begin(), depths.begin() + depths.size() / 2,
@@ -634,33 +1001,35 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     double s = T->mono_map_depth / depths[depths.size() / 2];
     t *= s;
 
-    MonoKF kf0;
+    WinKF kf0;
     kf0.id = T->next_kf_id++;
     kf0.R = cv::Mat::eye(3, 3, CV_64F);
     kf0.t = cv::Mat::zeros(3, 1, CV_64F);
     kf0.kps = T->init_kps;
     kf0.desc = T->init_desc.clone();
-    MonoKF kf1;
+    WinKF kf1;
     kf1.id = T->next_kf_id++;
     kf1.R = R.clone();
     kf1.t = t.clone();
     kf1.kps = kps;
     kf1.desc = desc.clone();
     for (const auto& p : pts) {
-      MonoPoint mp;
+      MapPoint mp;
       mp.X = (cv::Mat_<double>(3, 1) << p.X.x * s, p.X.y * s, p.X.z * s);
       mp.desc = desc.row(p.row1).clone();
-      mp.obs.push_back({kf0.id, p.px0});
-      mp.obs.push_back({kf1.id, p.px1});
+      mp.obs.push_back({kf0.id, p.px0, 0.0});
+      mp.obs.push_back({kf1.id, p.px1, 0.0});
       mp.last_kf = kf1.id;
       T->mpts.push_back(std::move(mp));
     }
-    T->mkfs.push_back(std::move(kf0));
-    T->mkfs.push_back(std::move(kf1));
+    push_global(kf0.id, kf0.R, kf0.t, kf0.kps, kf0.desc);
+    push_global(kf1.id, kf1.R, kf1.t, kf1.kps, kf1.desc);
+    T->wkfs.push_back(std::move(kf0));
+    T->wkfs.push_back(std::move(kf1));
     T->R_cur = R.clone();
     T->t_cur = t.clone();
     T->mono_initialized = true;
-    write_pose(R, t);
+    write_pose7(R, t, pose_out);
     *n_inliers_out = static_cast<int>(pts.size());
     return 1;
   }
@@ -778,14 +1147,13 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
   T->R_cur = R;
   T->t_cur = t;
   T->frames_since_kf++;
-  T->mono_frame++;
   for (int idx : inliers)
-    T->mpts[match_mp[idx]].last_seen_frame = T->mono_frame;
-  write_pose(R, t);
+    T->mpts[match_mp[idx]].last_seen_frame = frame_no;
+  write_pose7(R, t, pose_out);
   *n_inliers_out = static_cast<int>(inliers.size());
 
   // ---- keyframe decision ----
-  const MonoKF& last = T->mkfs.back();
+  const WinKF& last = T->wkfs.back();
   cv::Mat dR = R * last.R.t();
   cv::Mat cam_center = -R.t() * t;
   cv::Mat last_center = -last.R.t() * last.t;
@@ -806,15 +1174,15 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     if (used[row]) continue;
     used[row] = true;
     auto& mp = T->mpts[mp_i];
-    mp.obs.push_back({kf_id, kps[row].pt});
+    mp.obs.push_back({kf_id, kps[row].pt, 0.0});
     mp.desc = desc.row(row).clone();
     mp.last_kf = kf_id;
   }
   // fresh triangulations vs the previous keyframe AND the oldest window
   // keyframe (the latter has real baseline even during keyframe bursts)
-  for (const MonoKF* ref :
-       {&T->mkfs.back(),
-        T->mkfs.size() > 1 ? &T->mkfs.front() : &T->mkfs.back()}) {
+  for (const WinKF* ref :
+       {&T->wkfs.back(),
+        T->wkfs.size() > 1 ? &T->wkfs.front() : &T->wkfs.back()}) {
     std::vector<int> tri_rows;
     std::vector<cv::Point3f> tri_world;
     std::vector<cv::Point2f> tri_px_prev;
@@ -829,87 +1197,120 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
       if (z > 4.0 * T->mono_map_depth || z < 0.1 * T->mono_map_depth)
         continue;
       used[tri_rows[i]] = true;
-      MonoPoint mp;
+      MapPoint mp;
       mp.X = Xm.clone();
       mp.desc = desc.row(tri_rows[i]).clone();
-      mp.obs.push_back({ref->id, tri_px_prev[i]});
-      mp.obs.push_back({kf_id, kps[tri_rows[i]].pt});
+      mp.obs.push_back({ref->id, tri_px_prev[i], 0.0});
+      mp.obs.push_back({kf_id, kps[tri_rows[i]].pt, 0.0});
       mp.last_kf = kf_id;
-      mp.last_seen_frame = T->mono_frame;
+      mp.last_seen_frame = frame_no;
       T->mpts.push_back(std::move(mp));
     }
   }
-  MonoKF kf;
+  WinKF kf;
   kf.id = kf_id;
   kf.R = R.clone();
   kf.t = t.clone();
   kf.kps = kps;
   kf.desc = desc.clone();
-  T->mkfs.push_back(std::move(kf));
-  while (T->mkfs.size() > T->window) T->mkfs.pop_front();
+  T->wkfs.push_back(std::move(kf));
+  while (T->wkfs.size() > T->window) T->wkfs.pop_front();
   T->frames_since_kf = 0;
+  push_global(kf_id, R, t, kps, desc);
 
   // drop window-external observations (BA only sees the window); points
   // themselves stay alive for PnP until they go stale — tying point lifetime
   // to the keyframe window starves the map during keyframe bursts
   {
-    int oldest = T->mkfs.front().id;
-    std::vector<MonoPoint> kept;
+    int oldest = T->wkfs.front().id;
+    std::vector<MapPoint> kept;
     kept.reserve(T->mpts.size());
     for (auto& mp : T->mpts) {
-      if (mp.dead || T->mono_frame - mp.last_seen_frame > 40) continue;
-      auto it = std::remove_if(
-          mp.obs.begin(), mp.obs.end(),
-          [&](const std::pair<int, cv::Point2f>& o) { return o.first < oldest; });
+      if (mp.dead || frame_no - mp.last_seen_frame > 40) continue;
+      auto it = std::remove_if(mp.obs.begin(), mp.obs.end(),
+                               [&](const Obs& o) { return o.kf < oldest; });
       mp.obs.erase(it, mp.obs.end());
       kept.push_back(std::move(mp));
     }
     T->mpts = std::move(kept);
   }
 
-  mono_local_ba(T, K);
+  local_ba(T, K, /*nfix=*/2);  // mono: two fixed poses gauge the scale
   // adopt the BA-refined newest pose as the tracking state and output
-  T->R_cur = T->mkfs.back().R.clone();
-  T->t_cur = T->mkfs.back().t.clone();
-  write_pose(T->R_cur, T->t_cur);
+  T->R_cur = T->wkfs.back().R.clone();
+  T->t_cur = T->wkfs.back().t.clone();
+  write_pose7(T->R_cur, T->t_cur, pose_out);
   return 1;
 }
 
-// Last keyframe's keypoints with valid depth: fills up to max_n entries of
-// (u, v, x, y, z) float32 rows; returns the count.
+// Last keyframe's keypoints with valid 3D: fills up to max_n entries of
+// (u, v, x, y, z) float32 rows (camera-local 3D); returns the count.
 int sg_tracker_keyframe_points(void* handle, float* out, int max_n) {
   auto* T = static_cast<Tracker*>(handle);
-  if (!T->mkfs.empty()) {  // monocular: points observed in the newest kf
-    const MonoKF& kf = T->mkfs.back();
-    int n = 0;
-    for (const auto& mp : T->mpts) {
-      if (mp.dead || n >= max_n) continue;
-      for (const auto& o : mp.obs) {
-        if (o.first != kf.id) continue;
-        cv::Mat xc = kf.R * mp.X + kf.t;
-        out[n * 5 + 0] = o.second.x;
-        out[n * 5 + 1] = o.second.y;
-        out[n * 5 + 2] = static_cast<float>(xc.at<double>(0));
-        out[n * 5 + 3] = static_cast<float>(xc.at<double>(1));
-        out[n * 5 + 4] = static_cast<float>(xc.at<double>(2));
-        ++n;
-        break;
-      }
-    }
-    return n;
-  }
-  if (T->kfs.empty()) return 0;
-  const auto& kf = T->kfs.back();
+  if (T->wkfs.empty()) return 0;
+  const WinKF& kf = T->wkfs.back();
   int n = 0;
-  for (size_t i = 0; i < kf.px.size() && n < max_n; ++i) {
-    out[n * 5 + 0] = kf.px[i].x;
-    out[n * 5 + 1] = kf.px[i].y;
-    out[n * 5 + 2] = kf.pts_cam[i].x;
-    out[n * 5 + 3] = kf.pts_cam[i].y;
-    out[n * 5 + 4] = kf.pts_cam[i].z;
+  for (const auto& mp : T->mpts) {
+    if (mp.dead || n >= max_n) continue;
+    for (const auto& o : mp.obs) {
+      if (o.kf != kf.id) continue;
+      cv::Mat xc = kf.R * mp.X + kf.t;
+      out[n * 5 + 0] = o.px.x;
+      out[n * 5 + 1] = o.px.y;
+      out[n * 5 + 2] = static_cast<float>(xc.at<double>(0));
+      out[n * 5 + 3] = static_cast<float>(xc.at<double>(1));
+      out[n * 5 + 4] = static_cast<float>(xc.at<double>(2));
+      ++n;
+      break;
+    }
+  }
+  return n;
+}
+
+// Current BA-window keyframe poses (post-refinement). Fills up to max_n of
+// kf_ids / frame_nos / 7-double poses (tx ty tz qw qx qy qz, world-to-cam);
+// returns the count. The producer turns these into LOCAL_MAPPING_BA pose
+// refreshes (reference: LocalMapping.cc:149-160).
+int sg_tracker_window_poses(void* handle, int* kf_ids, int* frame_nos,
+                            double* poses7, int max_n) {
+  auto* T = static_cast<Tracker*>(handle);
+  int n = 0;
+  for (const auto& kf : T->wkfs) {
+    if (n >= max_n) break;
+    kf_ids[n] = kf.id;
+    frame_nos[n] =
+        kf.id < static_cast<int>(T->gkfs.size()) ? T->gkfs[kf.id].frame_no : -1;
+    write_pose7(kf.R, kf.t, poses7 + 7 * n);
     ++n;
   }
   return n;
+}
+
+// Full keyframe trajectory (all registry rows, post-BA/post-loop). Same
+// output convention as sg_tracker_window_poses. Used for LOOP_CLOSING_BA
+// refreshes and the final-trajectory rewrite at shutdown (reference:
+// src/gaussian_mapper.cpp:684-761).
+int sg_tracker_trajectory(void* handle, int* kf_ids, int* frame_nos,
+                          double* poses7, int max_n) {
+  auto* T = static_cast<Tracker*>(handle);
+  int n = 0;
+  for (const auto& g : T->gkfs) {
+    if (n >= max_n) break;
+    kf_ids[n] = g.id;
+    frame_nos[n] = g.frame_no;
+    write_pose7(g.R, g.t, poses7 + 7 * n);
+    ++n;
+  }
+  return n;
+}
+
+// Returns the candidate keyframe id of the most recent loop closure and
+// clears the flag, or -1 when no closure happened since the last poll.
+int sg_tracker_poll_loop(void* handle) {
+  auto* T = static_cast<Tracker*>(handle);
+  int v = T->loop_closed_at;
+  T->loop_closed_at = -1;
+  return v;
 }
 
 void sg_tracker_destroy(void* handle) { delete static_cast<Tracker*>(handle); }

@@ -49,6 +49,9 @@ def rasterize(
     mean2d_offset: jnp.ndarray | None = None,  # (N, 2) zeros; grad = stats hook
     scale_modifier: float = 1.0,
     interpret: bool | None = None,
+    shs: jnp.ndarray | None = None,  # (N, K, 3) SH coeffs; overrides colors
+    sh_degree: int = 3,
+    campos: jnp.ndarray | None = None,  # (3,) needed with shs; else derived
 ):
     """Returns dict with image (3, H, W), radii (N,), final_T, n_contrib,
     num_instances, num_compact."""
@@ -60,6 +63,18 @@ def rasterize(
             f"the lane dimension must be 128-aligned); got {config.chunk}"
         )
     opacities = opacities.reshape(-1)
+
+    if shs is not None:
+        # SH color mode (reference: computeColorFromSH, forward.cu:20-71 —
+        # unused by the reference's live renderer but part of the kernel
+        # surface). Vectorized XLA; fuses into the preprocess.
+        from segs_slam_tpu.ops.sh import sh_to_color
+
+        if campos is None:
+            # camera center = last row of inv(W2C^T) = (-R^T t, 1)
+            inv = jnp.linalg.inv(world_view_transform)
+            campos = inv[3, :3]
+        colors = sh_to_color(sh_degree, shs, means3d, campos)
 
     cov3d = compute_cov3d(scales, rotations, scale_modifier)
     proj = preprocess_gaussians(

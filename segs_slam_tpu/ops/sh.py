@@ -1,0 +1,100 @@
+"""Real spherical-harmonics color evaluation (degree <= 4).
+
+The reference carries an SH path in its kernels (reference:
+include/sh_utils.h:64-123 eval_sh, cuda_rasterizer/forward.cu:20-71
+computeColorFromSH) but its live renderer always uses precomputed colors
+(src/gaussian_renderer.cpp:96-99). This module provides the same capability
+as a vectorized XLA computation: per-gaussian view directions feed the
+standard real-SH basis, fused by XLA into the surrounding preprocess —
+there is no reason for a hand-written kernel here.
+
+The basis constants are the standard real spherical harmonics
+normalization factors (the same public math used by PlenOctree / 3DGS).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+C0 = 0.28209479177387814
+C1 = 0.4886025119029199
+C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+      -1.0925484305920792, 0.5462742152960396)
+C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+      0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+      -0.5900435899266435)
+C4 = (2.5033429417967046, -1.7701307697799304, 0.9461746957575601,
+      -0.6690465435572892, 0.10578554691520431, -0.6690465435572892,
+      0.47308734787878004, -1.7701307697799304, 0.6258357354491761)
+
+
+def num_sh_coeffs(degree: int) -> int:
+    return (degree + 1) ** 2
+
+
+def eval_sh(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate real SH colors.
+
+    sh: (..., K, C) coefficients with K >= (degree+1)^2; dirs: (..., 3)
+    unit view directions. Returns (..., C).
+    """
+    assert 0 <= degree <= 4
+    result = C0 * sh[..., 0, :]
+    if degree > 0:
+        x = dirs[..., 0:1]
+        y = dirs[..., 1:2]
+        z = dirs[..., 2:3]
+        result = (result - C1 * y * sh[..., 1, :] + C1 * z * sh[..., 2, :]
+                  - C1 * x * sh[..., 3, :])
+        if degree > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (result
+                      + C2[0] * xy * sh[..., 4, :]
+                      + C2[1] * yz * sh[..., 5, :]
+                      + C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
+                      + C2[3] * xz * sh[..., 7, :]
+                      + C2[4] * (xx - yy) * sh[..., 8, :])
+            if degree > 2:
+                result = (result
+                          + C3[0] * y * (3 * xx - yy) * sh[..., 9, :]
+                          + C3[1] * xy * z * sh[..., 10, :]
+                          + C3[2] * y * (4 * zz - xx - yy) * sh[..., 11, :]
+                          + C3[3] * z * (2 * zz - 3 * xx - 3 * yy)
+                          * sh[..., 12, :]
+                          + C3[4] * x * (4 * zz - xx - yy) * sh[..., 13, :]
+                          + C3[5] * z * (xx - yy) * sh[..., 14, :]
+                          + C3[6] * x * (xx - 3 * yy) * sh[..., 15, :])
+                if degree > 3:
+                    result = (
+                        result
+                        + C4[0] * xy * (xx - yy) * sh[..., 16, :]
+                        + C4[1] * yz * (3 * xx - yy) * sh[..., 17, :]
+                        + C4[2] * xy * (7 * zz - 1) * sh[..., 18, :]
+                        + C4[3] * yz * (7 * zz - 3) * sh[..., 19, :]
+                        + C4[4] * (zz * (35 * zz - 30) + 3) * sh[..., 20, :]
+                        + C4[5] * xz * (7 * zz - 3) * sh[..., 21, :]
+                        + C4[6] * (xx - yy) * (7 * zz - 1) * sh[..., 22, :]
+                        + C4[7] * xz * (xx - 3 * yy) * sh[..., 23, :]
+                        + C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy))
+                        * sh[..., 24, :])
+    return result
+
+
+def sh_to_color(degree: int, sh: jnp.ndarray, means3d: jnp.ndarray,
+                campos: jnp.ndarray) -> jnp.ndarray:
+    """Per-gaussian RGB from SH coefficients and a camera position, with the
+    rasterizer's +0.5 shift and non-negativity clamp (reference:
+    computeColorFromSH, cuda_rasterizer/forward.cu:20-71)."""
+    d = means3d - campos[None, :]
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    return jnp.maximum(eval_sh(degree, sh, d) + 0.5, 0.0)
+
+
+def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:
+    """DC coefficient for a target base color (reference: RGB2SH)."""
+    return (rgb - 0.5) / C0
+
+
+def sh_to_rgb(sh: jnp.ndarray) -> jnp.ndarray:
+    return sh * C0 + 0.5

@@ -37,11 +37,12 @@ def make_loop_trajectory(n_views: int, seed: int = 0):
     from segs_slam_tpu.core import se3
 
     rng = np.random.default_rng(seed)
+    room_center = np.array([0.0, 0.0, 3.0])  # interior of make_room_scene box
     poses = []
     for i in range(n_views):
         ang = 2.0 * np.pi * i / n_views
-        radius = 1.1 + 0.05 * np.sin(3 * ang)
-        center = np.array(
+        radius = 0.9 + 0.05 * np.sin(3 * ang)
+        center = room_center + np.array(
             [radius * np.sin(ang), 0.15 * np.sin(2 * ang), radius * np.cos(ang)]
         )
         center += rng.normal(scale=0.01, size=3)
@@ -82,7 +83,11 @@ def main(argv=None):
                  cx=w / 2, cy=h / 2)
     means, scales, quats, opac, colors = make_room_scene(
         args.gaussians, seed=args.seed)
-    opac = np.clip(opac + 0.25, 0, 0.98)  # mostly-opaque surfaces → clean depth
+    # near-opaque surfaces: with semi-transparent gaussians the alpha-blended
+    # depth mixes fore/background view-DEPENDENTLY (measured ~11% cross-view
+    # inconsistency), which poisons RGB-D tracking and densification; with
+    # alpha ~1 the first hit dominates and depth is a consistent surface.
+    opac = np.full_like(opac, 0.995)
     if args.loop:
         poses = make_loop_trajectory(args.frames, seed=args.seed)
     else:
