@@ -85,7 +85,7 @@ struct Tracker {
   // keyframe policy
   double kf_min_translation = 0.08;   // meters from the last keyframe
   double kf_min_rotation_deg = 8.0;   // degrees
-  double kf_min_match_ratio = 0.45;   // inliers vs local-map matches
+  double kf_min_match_ratio = 0.60;   // inliers vs local-map matches
   size_t window = 5;                  // BA keyframe window
 
   cv::Mat R_cur, t_cur;  // world-to-camera of the latest tracked frame
@@ -761,6 +761,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
             T->mpts.size(), active.size(), kps.size());
   if (active.size() < 12 || desc.empty()) {
     *n_inliers_out = 0;
+    write_pose7(T->R_cur, T->t_cur, pose_out);
     return -1;
   }
   cv::Mat map_desc(static_cast<int>(active.size()), desc.cols, desc.type());
@@ -784,6 +785,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   }
   if (obj.size() < 12) {
     *n_inliers_out = 0;
+    write_pose7(T->R_cur, T->t_cur, pose_out);
     return -1;
   }
 
@@ -795,13 +797,13 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   tvec = T->t_cur.clone();
   std::vector<int> inliers;
   bool ok = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rvec, tvec, true,
-                               200, 3.0, 0.995, inliers,
+                               200, 5.0, 0.995, inliers,
                                cv::SOLVEPNP_ITERATIVE);
   if (!ok || inliers.size() < 20) {
     cv::Mat rv2, tv2;
     std::vector<int> in2;
     bool ok2 = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rv2, tv2, false,
-                                  200, 3.0, 0.995, in2, cv::SOLVEPNP_EPNP);
+                                  200, 5.0, 0.995, in2, cv::SOLVEPNP_EPNP);
     if (ok2 && in2.size() > inliers.size()) {
       ok = ok2;
       rvec = rv2;
@@ -814,6 +816,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
             frame_no, obj.size(), (int)ok, inliers.size());
   if (!ok || inliers.size() < 10) {
     *n_inliers_out = static_cast<int>(inliers.size());
+    write_pose7(T->R_cur, T->t_cur, pose_out);
     return -1;
   }
   {
@@ -830,12 +833,29 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   cv::Mat R;
   cv::Rodrigues(rvec, R);  // world -> camera (points were world-frame)
   cv::Mat t = tvec;
+  {  // pose-jump gate (RANSAC snapped to a wrong consensus set)
+    cv::Mat c_new = -R.t() * t;
+    cv::Mat c_old = -T->R_cur.t() * T->t_cur;
+    cv::Mat dRj = R * T->R_cur.t();
+    if ((cv::norm(c_new - c_old) > 0.3 || rotation_angle_deg(dRj) > 12.0) &&
+        T->reject_streak < 10) {
+      T->reject_streak++;
+      *n_inliers_out = static_cast<int>(inliers.size());
+      write_pose7(T->R_cur, T->t_cur, pose_out);
+      return -1;
+    }
+    T->reject_streak = 0;
+  }
   T->R_cur = R;
   T->t_cur = t;
   T->frames_since_kf++;
   write_pose7(R, t, pose_out);
   *n_inliers_out = static_cast<int>(inliers.size());
-  for (int idx : inliers) T->mpts[match_mp[idx]].last_seen_frame = frame_no;
+  for (int idx : inliers) {
+    auto& mp = T->mpts[match_mp[idx]];
+    mp.last_seen_frame = frame_no;
+    mp.desc = desc.row(match_row[idx]).clone();  // keep descriptors fresh
+  }
 
   // keyframe policy: displacement vs the LAST keyframe
   const auto& last = T->wkfs.back();
@@ -846,8 +866,9 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   double rot = rotation_angle_deg(dR);
   double match_ratio = static_cast<double>(inliers.size()) /
                        std::max<size_t>(1, obj.size());
+  bool interval_due = T->frames_since_kf >= 5 && inliers.size() < 120;
   if (trans > T->kf_min_translation || rot > T->kf_min_rotation_deg ||
-      match_ratio < T->kf_min_match_ratio) {
+      match_ratio < T->kf_min_match_ratio || interval_due) {
     std::vector<int> inl_mp, inl_row;
     for (int idx : inliers) {
       inl_mp.push_back(match_mp[idx]);
@@ -1097,13 +1118,13 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
   tvec = T->t_cur.clone();
   std::vector<int> inliers;
   bool ok = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rvec, tvec, true,
-                               200, 3.0, 0.995, inliers,
+                               200, 5.0, 0.995, inliers,
                                cv::SOLVEPNP_ITERATIVE);
   if (!ok || inliers.size() < 30) {
     cv::Mat rv2, tv2;
     std::vector<int> in2;
     bool ok2 = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rv2, tv2, false,
-                                  200, 3.0, 0.995, in2, cv::SOLVEPNP_EPNP);
+                                  200, 5.0, 0.995, in2, cv::SOLVEPNP_EPNP);
     if (ok2 && in2.size() > inliers.size()) {
       ok = ok2;
       rvec = rv2;

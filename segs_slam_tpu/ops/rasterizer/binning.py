@@ -72,7 +72,14 @@ def compact_gaussians(
         }
         alive = aux["alive"]
         n = nc
-    key = (~alive).astype(jnp.int32)
+    # Priority compaction: under capacity pressure the sort drops the
+    # FAINTEST gaussians instead of arbitrary (anchor-order) ones — overflow
+    # becomes graceful degradation. Key layout: dead gaussians above every
+    # alive one, alive ones ordered by descending opacity (16-bit quantized;
+    # stable sort keeps original order within equal keys).
+    opac_q = jnp.clip(feats[5], 0.0, 1.0)
+    opac_q = (65535.0 * (1.0 - opac_q)).astype(jnp.int32)
+    key = jnp.where(alive, opac_q, jnp.int32(1 << 24))
     idx = jnp.arange(n, dtype=jnp.int32)
     out = lax.sort(
         (key,)
@@ -93,7 +100,7 @@ def compact_gaussians(
     rmx, rmy, rw, touched = (o[:nc] for o in out[1 + NPAY : 5 + NPAY])
     depth = out[5 + NPAY][:nc]
     orig = out[6 + NPAY][:nc]
-    valid = key_s == 0
+    valid = key_s < (1 << 24)
     num_valid = jnp.sum(alive.astype(jnp.int32))
     return CompactGaussians(
         feats=feats_s,

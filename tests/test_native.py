@@ -94,3 +94,53 @@ def test_native_tracker_recovers_translation():
     kp = tracker.keyframe_points()
     assert len(kp) > 50
     assert (kp[:, 4] > 0).all()
+
+
+def test_tracker_pose_export_apis():
+    """window_poses / trajectory / poll_loop contracts on a short synthetic
+    RGB-D sequence (pose refreshes feed LOCAL_MAPPING_BA; reference:
+    LocalMapping.cc:149-160)."""
+    w, h = 320, 240
+    fx = fy = 200.0
+    cx, cy = w / 2, h / 2
+    rng = np.random.default_rng(3)
+    pts = rng.uniform([-1.5, -1.0, 1.8], [1.5, 1.0, 2.6], (500, 3))
+
+    def view(dx):
+        p = pts - np.array([dx, 0, 0])
+        u = p[:, 0] / p[:, 2] * fx + cx
+        v = p[:, 1] / p[:, 2] * fy + cy
+        img = _render_dots(w, h, np.stack([u, v], 1))
+        depth = np.full((h, w), 2.2, np.float32)
+        for (uu, vv), z in zip(np.stack([u, v], 1), p[:, 2]):
+            ui, vi = int(uu), int(vv)
+            if 0 <= ui < w and 0 <= vi < h:
+                depth[max(0, vi - 3) : vi + 3, max(0, ui - 3) : ui + 3] = z
+        return img, depth
+
+    tracker = NativeTracker(fx, fy, cx, cy, n_features=800)
+    n_kf = 0
+    for i, dx in enumerate(np.linspace(0, 0.5, 12)):
+        img, d = view(float(dx))
+        status, pose, n = tracker.track(img, d)
+        if status == 1:
+            n_kf += 1
+    assert n_kf >= 2
+
+    ids, fnos, poses = tracker.window_poses()
+    assert len(ids) == min(n_kf, 5)
+    assert poses.shape == (len(ids), 7)
+    # quaternions are normalized
+    np.testing.assert_allclose(np.linalg.norm(poses[:, 3:7], axis=1), 1.0,
+                               atol=1e-6)
+
+    tids, tfnos, tposes = tracker.trajectory()
+    assert len(tids) == n_kf
+    assert list(tids) == sorted(tids)
+    # frame ordinals are within the fed range and increasing
+    assert all(0 <= f < 12 for f in tfnos)
+    assert list(tfnos) == sorted(tfnos)
+    # window poses are the tail of the trajectory (same ids)
+    assert list(ids) == list(tids[-len(ids):])
+
+    assert tracker.poll_loop() == -1  # no revisit in a linear sweep

@@ -162,3 +162,38 @@ def test_instance_overflow_reported():
     kf, means, scales, quats, opac, colors, bg = _scene(n=60)
     out = _run_ours(kf, means, scales, quats, opac, colors, bg, config)
     assert int(out["num_instances"]) > 0
+
+
+def test_priority_compaction_keeps_brightest():
+    """Over capacity, compaction must drop the FAINTEST gaussians, not
+    arbitrary ones (graceful overflow; see binning.compact_gaussians)."""
+    import jax.numpy as jnp
+    from segs_slam_tpu.ops.rasterizer.binning import compact_gaussians
+    from segs_slam_tpu.ops.rasterizer import RasterConfig
+
+    n, cap = 64, 16
+    rng = np.random.default_rng(0)
+    opac = rng.uniform(0.01, 0.2, n).astype(np.float32)
+    bright = [5, 40, 63]  # scattered positions incl. the very last slot
+    opac[bright] = [0.9, 0.95, 0.99]
+    feats = tuple(
+        jnp.asarray(rng.uniform(size=n).astype(np.float32)) for _ in range(5)
+    ) + (jnp.asarray(opac),) + tuple(
+        jnp.asarray(rng.uniform(size=n).astype(np.float32)) for _ in range(3)
+    )
+    aux = {
+        "rect_min_x": jnp.zeros(n, jnp.int32),
+        "rect_min_y": jnp.zeros(n, jnp.int32),
+        "rect_w": jnp.ones(n, jnp.int32),
+        "touched": jnp.ones(n, jnp.int32),
+        "depth": jnp.asarray(rng.uniform(1, 5, n).astype(np.float32)),
+        "alive": jnp.ones(n, bool),
+    }
+    cfg = RasterConfig(tile=16, compact=cap, kmax=4, chunk=128)
+    cg = compact_gaussians(feats, aux, cfg)
+    kept = set(np.asarray(cg.orig_id)[np.asarray(cg.valid)].tolist())
+    assert set(bright) <= kept, (bright, kept)
+    assert int(cg.num_valid) == n  # true count still reported for overflow
+    # kept set is exactly the top-`cap` by opacity
+    top = set(np.argsort(-opac)[:cap].tolist())
+    assert kept == top
