@@ -65,12 +65,10 @@ def run_mono_producer(frames, camera, queue, tracking_times, stop_event,
     fed_frames: list[int] = []
     est_rows = []
 
+    from segs_slam_tpu.slam.producers import tracker_pose_updates
+
     def _pose_updates(frame_nos, poses7):
-        updates = {}
-        for fno, p in zip(frame_nos, poses7):
-            if 0 <= fno < len(fed_frames):
-                updates[fed_frames[fno]] = (p[3:7].copy(), p[0:3].copy())
-        return updates
+        return tracker_pose_updates(fed_frames, frame_nos, poses7)
 
     frame_interval = (1.0 / fps) if fps else 0.0
     for i, fr in enumerate(frames):

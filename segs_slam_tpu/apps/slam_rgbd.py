@@ -69,16 +69,12 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
 
         tracker = NativeTracker(camera.fx, camera.fy, camera.cx, camera.cy)
 
+    from segs_slam_tpu.slam.producers import tracker_pose_updates
+
     fed_frames: list[int] = []  # tracker frame_no -> dataset frame index
 
     def _tracker_pose_updates(frame_nos, poses7):
-        """Map native frame ordinals to dataset frame ids (the mapper's
-        keyframe ids) and convert pose7 rows to (quat, trans)."""
-        updates = {}
-        for fno, p in zip(frame_nos, poses7):
-            if 0 <= fno < len(fed_frames):
-                updates[fed_frames[fno]] = (p[3:7].copy(), p[0:3].copy())
-        return updates
+        return tracker_pose_updates(fed_frames, frame_nos, poses7)
 
     def push_keyframe(i, fr, rgb, depth, quat, trans, kp=None,
                       pose_updates=None):

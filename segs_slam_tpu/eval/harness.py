@@ -46,6 +46,12 @@ def evaluate_run(run_dir: str | Path, mono: bool = False) -> dict:
     # LPIPS over rendered vs ground_truth dirs (reference: run.py:112-141)
     lpips = M.lpips_fn()
     rdir, gdir = run_dir / "rendered", run_dir / "ground_truth"
+    if lpips is None:
+        # degrade LOUDLY: the column is absent, not silently zero
+        print(f"[eval] {run_dir}: LPIPS skipped — no pretrained weights "
+              "(set SEGS_LPIPS_WEIGHTS to an AlexNet-LPIPS .npz to enable)",
+              flush=True)
+        out["lpips_skipped"] = 1.0
     if lpips is not None and rdir.is_dir() and gdir.is_dir():
         from PIL import Image
         import jax.numpy as jnp

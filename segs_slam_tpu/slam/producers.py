@@ -165,3 +165,15 @@ class SyntheticOracleProducer(DatasetOracleProducer):
         t = threading.Thread(target=self.run, daemon=True)
         t.start()
         return t
+
+
+def tracker_pose_updates(fed_frames, frame_nos, poses7):
+    """Map native-tracker frame ordinals to dataset frame ids (the mapper's
+    keyframe ids) and convert pose7 rows (tx ty tz qw qx qy qz) to the
+    protocol's (quat, trans) pairs. Ordinals outside the fed range are
+    dropped (reference bridge: LocalMapping.cc:149-160 pose refreshes)."""
+    updates = {}
+    for fno, p in zip(frame_nos, poses7):
+        if 0 <= fno < len(fed_frames):
+            updates[fed_frames[fno]] = (p[3:7].copy(), p[0:3].copy())
+    return updates

@@ -139,3 +139,18 @@ def test_record_replay_stream(tmp_path):
     np.testing.assert_allclose(
         replayed[0].keyframes[0].image, ops[0].keyframes[0].image
     )
+
+
+def test_tracker_pose_updates_mapping():
+    """Native frame ordinals map to dataset frame ids; out-of-range ordinals
+    are dropped (producers.tracker_pose_updates)."""
+    import numpy as np
+    from segs_slam_tpu.slam.producers import tracker_pose_updates
+
+    fed = [3, 7, 11]  # dataset frame ids in feed order
+    poses = np.arange(3 * 7, dtype=float).reshape(3, 7)
+    upd = tracker_pose_updates(fed, [0, 2, 5], poses)
+    assert set(upd) == {3, 11}  # ordinal 5 out of range -> dropped
+    q, t = upd[11]
+    np.testing.assert_allclose(t, poses[1, 0:3])
+    np.testing.assert_allclose(q, poses[1, 3:7])
