@@ -16,6 +16,13 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+# tracker evaluation is pure CPU (OpenCV + PIL): keep JAX off the TPU so
+# this script never contends with a training run for the single chip
+import jax  # noqa: E402
+
+if not jax._src.xla_bridge.backends_are_initialized():
+    jax.config.update("jax_platforms", "cpu")
+
 from segs_slam_tpu.io import datasets
 from segs_slam_tpu.eval.metrics import ate_rmse
 from segs_slam_tpu.native import NativeTracker, native_available

@@ -77,9 +77,11 @@ def compact_gaussians(
     # becomes graceful degradation. Key layout: dead gaussians above every
     # alive one, alive ones ordered by descending opacity (16-bit quantized;
     # stable sort keeps original order within equal keys).
-    opac_q = jnp.clip(feats[5], 0.0, 1.0)
-    opac_q = (65535.0 * (1.0 - opac_q)).astype(jnp.int32)
-    key = jnp.where(alive, opac_q, jnp.int32(1 << 24))
+    opac = feats[5]
+    opac_q = (65535.0 * (1.0 - jnp.clip(opac, 0.0, 1.0))).astype(jnp.int32)
+    # non-finite opacity would quantize to an arbitrary (possibly negative)
+    # int and win the priority sort — treat it as dead instead
+    key = jnp.where(alive & jnp.isfinite(opac), opac_q, jnp.int32(1 << 24))
     idx = jnp.arange(n, dtype=jnp.int32)
     out = lax.sort(
         (key,)
