@@ -204,7 +204,7 @@ def _fwd_kernel(
         dma(0).start()
 
     def body(ci, carry):
-        T, C, D, nc = carry
+        T, C, D, nc, done = carry
         base = ci * ch
 
         @pl.when((ci + 1) * ch < hi)
@@ -218,7 +218,7 @@ def _fwd_kernel(
         om = 1.0 - alpha
         cum = _prefix_prod_lane(om, tri_i)  # [P, C] inclusive
         test_t = T * cum
-        accept = test_t >= cfg.transmittance_min
+        accept = (test_t >= cfg.transmittance_min) & jnp.logical_not(done)
         t_before = T * cum / om  # exclusive prefix (om >= 1 - alpha_clamp)
         w = jnp.where(accept, alpha * t_before, 0.0)  # [P, C]
 
@@ -233,17 +233,29 @@ def _fwd_kernel(
         # T_out = smallest accepted test_t (accept is a prefix per pixel).
         T = jnp.min(jnp.where(accept, test_t, T), axis=1, keepdims=True)
 
+        # CUDA latches termination at the FIRST threshold crossing
+        # (forward.cu:425-429: done = true, never resumes). Without the
+        # latch, the rejected high-alpha instance's transmittance is never
+        # folded into T, the next chunk's cum restarts at 1, and acceptance
+        # resumes — producing (final_T, n_contrib) pairs whose accepted-set
+        # suffix products underflow f32 in the backward (t_before = T/sp
+        # blows up to inf). The latch restores the reference's prefix
+        # semantics exactly.
+        done = done | jnp.any(
+            (alpha > 0.0) & jnp.logical_not(accept), axis=1, keepdims=True
+        )
+
         accepted = accept & (alpha > 0.0)
         # local contributor index within [start, stop)
         idx1 = lax.broadcasted_iota(jnp.int32, accepted.shape, 1) + base - lo + 1
         nc = jnp.maximum(
             nc, jnp.max(jnp.where(accepted, idx1, 0), axis=1, keepdims=True)
         )
-        return T, C, D, nc
+        return T, C, D, nc, done
 
     def cond(state):
-        ci, (T, _, _, _) = state
-        return (ci * ch < hi) & (jnp.max(T) >= cfg.transmittance_min)
+        ci, (_, _, _, _, done) = state
+        return (ci * ch < hi) & jnp.logical_not(jnp.all(done))
 
     def step(state):
         ci, carry = state
@@ -253,7 +265,10 @@ def _fwd_kernel(
     C0 = jnp.zeros((3, npix), jnp.float32)
     D0 = jnp.zeros((npix, 1), jnp.float32)
     nc0 = jnp.zeros((npix, 1), jnp.int32)
-    ci_end, (T, C, D, nc) = lax.while_loop(cond, step, (0, (T0, C0, D0, nc0)))
+    done0 = jnp.zeros((npix, 1), jnp.bool_)
+    ci_end, (T, C, D, nc, _) = lax.while_loop(
+        cond, step, (0, (T0, C0, D0, nc0, done0))
+    )
 
     # Early exit leaves the prefetched DMA for ci_end in flight; consume it
     # so the next grid step's semaphores start clean.

@@ -197,3 +197,74 @@ def test_priority_compaction_keeps_brightest():
     # kept set is exactly the top-`cap` by opacity
     top = set(np.argsort(-opac)[:cap].tolist())
     assert kept == top
+
+
+def test_no_acceptance_resurrection_deep_stack():
+    """A deep stack crossing the transmittance threshold mid-chunk, followed
+    by many near-transparent instances in later chunks: termination must be
+    permanent (CUDA forward.cu:425-429 latches `done`), n_contrib must stay
+    at the true prefix, and the backward must be finite. Without the latch,
+    acceptance resumed in the next chunk and the backward's accepted-set
+    suffix product underflowed f32 (t_before = T/sp -> inf)."""
+    import jax
+    import jax.numpy as jnp
+    from segs_slam_tpu.core.camera import Camera
+    from segs_slam_tpu.core.keyframe import Keyframe
+    from segs_slam_tpu.ops.rasterizer import RasterConfig, rasterize
+
+    n_front, n_back = 40, 400
+    n = n_front + n_back
+    rng = np.random.default_rng(7)
+    # all gaussians cover the same image region; front ones opaque, the long
+    # tail nearly transparent (alpha ~ 0.005 keeps test_t hovering at the
+    # threshold, which is what resurrected acceptance in the buggy kernel)
+    means = np.zeros((n, 3), np.float32)
+    means[:, 2] = np.linspace(2.0, 4.0, n)  # depth-ordered front to back
+    means[:, :2] = rng.normal(scale=0.01, size=(n, 2))
+    scales = np.full((n, 3), 0.3, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    opac = np.concatenate([
+        np.full(n_front, 0.9, np.float32),
+        np.full(n_back, 0.005, np.float32),
+    ])
+    colors = rng.uniform(0.2, 0.9, (n, 3)).astype(np.float32)
+
+    cam = Camera(camera_id=0, width=32, height=32, fx=30, fy=30, cx=16, cy=16)
+    kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
+    cfg = RasterConfig(tile=16, compact=512, kmax=4, chunk=128)
+    common = dict(
+        world_view_transform=jnp.asarray(kf.world_view_transform),
+        full_proj_transform=jnp.asarray(kf.full_proj_transform),
+        width=32, height=32, tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+        bg=jnp.zeros(3), config=cfg, interpret=True,
+    )
+
+    def loss(op):
+        out = rasterize(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            op, jnp.asarray(colors), **common,
+        )
+        return jnp.abs(out["image"]).mean(), out
+
+    (val, out), grads = jax.value_and_grad(loss, has_aux=True)(
+        jnp.asarray(opac)
+    )
+    assert np.isfinite(float(val))
+    g = np.asarray(grads)
+    assert np.isfinite(g).all(), f"nonfinite dopacity: {(~np.isfinite(g)).sum()}"
+
+    # n_contrib stays at the true accepted prefix: with alpha 0.9 stacked,
+    # T crosses 1e-4 after ~ceil(log(1e-4)/log(0.1)) = 4 front instances
+    nc = np.asarray(out["n_contrib"]).max()
+    assert nc <= n_front, f"n_contrib {nc} spans resurrected instances"
+
+    # parity with the NumPy CUDA-semantics oracle (permanent break)
+    ref = render_reference(
+        means, scales, quats, opac, colors,
+        np.asarray(kf.world_view_transform),
+        np.asarray(kf.full_proj_transform), 32, 32,
+        cam.tan_fovx, cam.tan_fovy, np.zeros(3), tile=cfg.tile,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["image"]), ref["image"], atol=2e-4
+    )
