@@ -218,7 +218,9 @@ def _fwd_kernel(
         om = 1.0 - alpha
         cum = _prefix_prod_lane(om, tri_i)  # [P, C] inclusive
         test_t = T * cum
-        accept = (test_t >= cfg.transmittance_min) & jnp.logical_not(done)
+        # done rides the carry as f32 0/1 (Mosaic cannot yield i1 vectors
+        # from a while loop)
+        accept = (test_t >= cfg.transmittance_min) & (done < 0.5)
         t_before = T * cum / om  # exclusive prefix (om >= 1 - alpha_clamp)
         w = jnp.where(accept, alpha * t_before, 0.0)  # [P, C]
 
@@ -241,8 +243,13 @@ def _fwd_kernel(
         # suffix products underflow f32 in the backward (t_before = T/sp
         # blows up to inf). The latch restores the reference's prefix
         # semantics exactly.
-        done = done | jnp.any(
-            (alpha > 0.0) & jnp.logical_not(accept), axis=1, keepdims=True
+        done = jnp.maximum(
+            done,
+            jnp.max(
+                jnp.where((alpha > 0.0) & jnp.logical_not(accept), 1.0, 0.0),
+                axis=1,
+                keepdims=True,
+            ),
         )
 
         accepted = accept & (alpha > 0.0)
@@ -255,7 +262,7 @@ def _fwd_kernel(
 
     def cond(state):
         ci, (_, _, _, _, done) = state
-        return (ci * ch < hi) & jnp.logical_not(jnp.all(done))
+        return (ci * ch < hi) & (jnp.min(done) < 0.5)
 
     def step(state):
         ci, carry = state
@@ -265,7 +272,7 @@ def _fwd_kernel(
     C0 = jnp.zeros((3, npix), jnp.float32)
     D0 = jnp.zeros((npix, 1), jnp.float32)
     nc0 = jnp.zeros((npix, 1), jnp.int32)
-    done0 = jnp.zeros((npix, 1), jnp.bool_)
+    done0 = jnp.zeros((npix, 1), jnp.float32)
     ci_end, (T, C, D, nc, _) = lax.while_loop(
         cond, step, (0, (T0, C0, D0, nc0, done0))
     )
