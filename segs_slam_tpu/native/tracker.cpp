@@ -944,9 +944,20 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
+    // ratio-test matching: crossCheck alone aliases badly on self-similar
+    // texture, and a single aliased tail poisons the essential matrix
+    std::vector<std::vector<cv::DMatch>> knn;
+    T->matcher_knn->knnMatch(T->init_desc, desc, knn, 2);
     std::vector<cv::DMatch> matches;
-    T->matcher->match(T->init_desc, desc, matches);
-    if (matches.size() < 60) {  // scene changed too much: re-anchor
+    for (const auto& mv : knn) {
+      if (mv.size() < 2) continue;
+      if (mv[0].distance <= 50 && mv[0].distance < 0.75f * mv[1].distance)
+        matches.push_back(mv[0]);
+    }
+    if (getenv("SG_TRACKER_DEBUG"))
+      fprintf(stderr, "[mono-boot] f=%d matches=%zu\n", frame_no,
+              matches.size());
+    if (matches.size() < 40) {  // scene changed too much: re-anchor
       T->init_kps = kps;
       T->init_desc = desc.clone();
       write_pose7(T->R_cur, T->t_cur, pose_out);
@@ -965,7 +976,10 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
       std::nth_element(d.begin(), d.begin() + d.size() / 2, d.end());
       med_disp = d[d.size() / 2];
     }
-    if (med_disp < 0.02 * w) {  // not enough parallax yet
+    if (getenv("SG_TRACKER_DEBUG"))
+      fprintf(stderr, "[mono-boot] f=%d med_disp=%.1f need=%.1f\n", frame_no,
+              med_disp, 0.008 * w);
+    if (med_disp < 0.008 * w) {  // not enough parallax yet
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
@@ -977,6 +991,9 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     }
     cv::Mat R, t;
     int good = cv::recoverPose(E, p0, p1, K, R, t, mask);
+    if (getenv("SG_TRACKER_DEBUG"))
+      fprintf(stderr, "[mono-boot] f=%d recoverPose good=%d\n", frame_no,
+              good);
     if (good < 40) {
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
@@ -1013,6 +1030,9 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
       pts.push_back({X, q0[i], q1[i], rows1[i]});
       depths.push_back(X.z);
     }
+    if (getenv("SG_TRACKER_DEBUG"))
+      fprintf(stderr, "[mono-boot] f=%d triangulated=%zu\n", frame_no,
+              pts.size());
     if (pts.size() < 30) {
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
