@@ -578,6 +578,76 @@ void try_close_loop(Tracker* T, const cv::Mat& K, GlobalKF& cur) {
   T->loop_closed_at = best_cand;
 }
 
+// Relocalization: when tracking is lost, match the current frame against
+// every registry keyframe's descriptor bag (place recognition) and verify
+// with PnP on the candidate's world points. On success the tracking pose is
+// reset and the local map re-seeded from the candidate's registry points —
+// the lightweight stand-in for ORB-SLAM3's DBoW2 relocalization
+// (Tracking::Relocalization). RGB-D only (mono registry rows carry no
+// world points).
+bool try_relocalize(Tracker* T, const cv::Mat& K,
+                    const std::vector<cv::KeyPoint>& kps, const cv::Mat& desc,
+                    int frame_no) {
+  if (T->gkfs.empty() || desc.empty()) return false;
+  int best_cand = -1;
+  size_t best_score = 0;
+  std::vector<cv::DMatch> best_matches;
+  for (const auto& cand : T->gkfs) {
+    if (cand.desc.empty() || cand.pts_w.empty()) continue;
+    std::vector<cv::DMatch> matches;
+    T->matcher->match(cand.desc, desc, matches);
+    size_t good = 0;
+    for (const auto& m : matches)
+      if (m.distance <= 50) good++;
+    if (good > best_score) {
+      best_score = good;
+      best_cand = cand.id;
+      best_matches = std::move(matches);
+    }
+  }
+  if (best_cand < 0 || best_score < 30) return false;
+
+  const GlobalKF& cand = T->gkfs[best_cand];
+  std::vector<cv::Point3f> obj;
+  std::vector<cv::Point2f> scene;
+  for (const auto& m : best_matches) {
+    if (m.distance > 50) continue;
+    obj.push_back(cand.pts_w[m.queryIdx]);
+    scene.push_back(kps[m.trainIdx].pt);
+  }
+  if (obj.size() < 20) return false;
+  cv::Mat rvec, tvec;
+  std::vector<int> inliers;
+  bool ok = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rvec, tvec, false,
+                               200, 4.0, 0.995, inliers, cv::SOLVEPNP_EPNP);
+  if (!ok || inliers.size() < 20) return false;
+  {
+    std::vector<cv::Point3f> obj_in;
+    std::vector<cv::Point2f> scene_in;
+    for (int idx : inliers) {
+      obj_in.push_back(obj[idx]);
+      scene_in.push_back(scene[idx]);
+    }
+    cv::solvePnPRefineLM(obj_in, scene_in, K, cv::Mat(), rvec, tvec);
+  }
+  cv::Rodrigues(rvec, T->R_cur);
+  T->t_cur = tvec.clone();
+  // re-seed the local map from the candidate's registry points
+  for (size_t r = 0; r < cand.pts_w.size(); ++r) {
+    MapPoint mp;
+    mp.X = (cv::Mat_<double>(3, 1) << cand.pts_w[r].x, cand.pts_w[r].y,
+            cand.pts_w[r].z);
+    mp.desc = cand.desc.row(static_cast<int>(r)).clone();
+    mp.last_kf = cand.id;
+    mp.last_seen_frame = frame_no;
+    T->mpts.push_back(std::move(mp));
+  }
+  if (getenv("SG_TRACKER_DEBUG"))
+    fprintf(stderr, "[reloc] f=%d vs kf %d score=%zu inl=%zu\n", frame_no,
+            best_cand, best_score, inliers.size());
+  return true;
+}
+
 // capped descriptor bag + world points for the registry row
 void fill_global_kf(Tracker* T, GlobalKF* g,
                     const std::vector<cv::KeyPoint>& kps, const cv::Mat& desc,
@@ -761,30 +831,83 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
             T->mpts.size(), active.size(), kps.size());
   if (active.size() < 12 || desc.empty()) {
     *n_inliers_out = 0;
+    if (try_relocalize(T, K, kps, desc, frame_no)) {
+      write_pose7(T->R_cur, T->t_cur, pose_out);
+      return 0;
+    }
     write_pose7(T->R_cur, T->t_cur, pose_out);
     return -1;
   }
-  cv::Mat map_desc(static_cast<int>(active.size()), desc.cols, desc.type());
-  for (size_t i = 0; i < active.size(); ++i)
-    T->mpts[active[i]].desc.copyTo(map_desc.row(static_cast<int>(i)));
-
-  std::vector<cv::DMatch> matches;
-  T->matcher->match(map_desc, desc, matches);
+  // Projection-guided matching (same design as the mono path): project
+  // each map point with the motion prior and consider only keypoints in a
+  // small search window. Global crossCheck matching over a several-thousand
+  // point map aliases on self-similar texture — matches stay plentiful but
+  // inlier consensus collapses. A 16-px grid index over the frame keypoints
+  // bounds the search to the 3x3 neighboring cells.
+  const int cell = 16;
+  const int gw = (w + cell - 1) / cell, gh = (h + cell - 1) / cell;
+  std::vector<std::vector<int>> kp_grid(gw * gh);
+  for (size_t k = 0; k < kps.size(); ++k) {
+    int cx = static_cast<int>(kps[k].pt.x) / cell;
+    int cy = static_cast<int>(kps[k].pt.y) / cell;
+    if (cx >= 0 && cx < gw && cy >= 0 && cy < gh)
+      kp_grid[cy * gw + cx].push_back(static_cast<int>(k));
+  }
 
   std::vector<cv::Point3f> obj;
   std::vector<cv::Point2f> scene;
   std::vector<int> match_mp, match_row;
-  for (const auto& mt : matches) {
-    const cv::Mat& X = T->mpts[active[mt.queryIdx]].X;
-    obj.push_back(cv::Point3f(static_cast<float>(X.at<double>(0)),
-                              static_cast<float>(X.at<double>(1)),
-                              static_cast<float>(X.at<double>(2))));
-    scene.push_back(kps[mt.trainIdx].pt);
-    match_mp.push_back(active[mt.queryIdx]);
-    match_row.push_back(mt.trainIdx);
-  }
+  auto guided_match = [&](double radius, int max_hamming) {
+    obj.clear();
+    scene.clear();
+    match_mp.clear();
+    match_row.clear();
+    const int creach = static_cast<int>(radius) / cell + 1;
+    for (int mi : active) {
+      const auto& mp = T->mpts[mi];
+      cv::Mat Xc = T->R_cur * mp.X + T->t_cur;
+      double z = Xc.at<double>(2);
+      if (z < 1e-3) continue;
+      float u = static_cast<float>(T->fx * Xc.at<double>(0) / z + T->cx);
+      float v = static_cast<float>(T->fy * Xc.at<double>(1) / z + T->cy);
+      if (u < -radius || u > w + radius || v < -radius || v > h + radius)
+        continue;
+      int cu = static_cast<int>(u) / cell, cv_ = static_cast<int>(v) / cell;
+      int best = max_hamming + 1, best_row = -1;
+      for (int dy = -creach; dy <= creach; ++dy)
+        for (int dx = -creach; dx <= creach; ++dx) {
+          int gx = cu + dx, gy = cv_ + dy;
+          if (gx < 0 || gx >= gw || gy < 0 || gy >= gh) continue;
+          for (int k : kp_grid[gy * gw + gx]) {
+            if (std::abs(kps[k].pt.x - u) > radius ||
+                std::abs(kps[k].pt.y - v) > radius)
+              continue;
+            int d = static_cast<int>(
+                cv::norm(mp.desc, desc.row(k), cv::NORM_HAMMING));
+            if (d < best) {
+              best = d;
+              best_row = k;
+            }
+          }
+        }
+      if (best_row < 0) continue;
+      const cv::Mat& X = mp.X;
+      obj.push_back(cv::Point3f(static_cast<float>(X.at<double>(0)),
+                                static_cast<float>(X.at<double>(1)),
+                                static_cast<float>(X.at<double>(2))));
+      scene.push_back(kps[best_row].pt);
+      match_mp.push_back(mi);
+      match_row.push_back(best_row);
+    }
+  };
+  guided_match(20.0, 64);
+  if (obj.size() < 40) guided_match(56.0, 64);  // wider: recover after jitter
   if (obj.size() < 12) {
     *n_inliers_out = 0;
+    if (try_relocalize(T, K, kps, desc, frame_no)) {
+      write_pose7(T->R_cur, T->t_cur, pose_out);
+      return 0;
+    }
     write_pose7(T->R_cur, T->t_cur, pose_out);
     return -1;
   }
@@ -816,6 +939,10 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
             frame_no, obj.size(), (int)ok, inliers.size());
   if (!ok || inliers.size() < 10) {
     *n_inliers_out = static_cast<int>(inliers.size());
+    if (try_relocalize(T, K, kps, desc, frame_no)) {
+      write_pose7(T->R_cur, T->t_cur, pose_out);
+      return 0;
+    }
     write_pose7(T->R_cur, T->t_cur, pose_out);
     return -1;
   }
@@ -837,10 +964,22 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     cv::Mat c_new = -R.t() * t;
     cv::Mat c_old = -T->R_cur.t() * T->t_cur;
     cv::Mat dRj = R * T->R_cur.t();
-    if ((cv::norm(c_new - c_old) > 0.3 || rotation_angle_deg(dRj) > 12.0) &&
-        T->reject_streak < 10) {
+    if (cv::norm(c_new - c_old) > 0.3 || rotation_angle_deg(dRj) > 12.0) {
+      // NEVER blind-accept after a streak (a wrong pose poisons the map
+      // through keyframe creation); stay lost and let relocalization
+      // recover. After a long streak the stale local map itself is the
+      // problem — retire it so only the registry (relocalize) remains.
       T->reject_streak++;
       *n_inliers_out = static_cast<int>(inliers.size());
+      if (T->reject_streak >= 3 &&
+          try_relocalize(T, K, kps, desc, frame_no)) {
+        T->reject_streak = 0;
+        write_pose7(T->R_cur, T->t_cur, pose_out);
+        return 0;
+      }
+      if (T->reject_streak >= 15) {
+        for (auto& mp : T->mpts) mp.dead = true;
+      }
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
@@ -867,8 +1006,9 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   double match_ratio = static_cast<double>(inliers.size()) /
                        std::max<size_t>(1, obj.size());
   bool interval_due = T->frames_since_kf >= 5 && inliers.size() < 120;
-  if (trans > T->kf_min_translation || rot > T->kf_min_rotation_deg ||
-      match_ratio < T->kf_min_match_ratio || interval_due) {
+  if ((trans > T->kf_min_translation || rot > T->kf_min_rotation_deg ||
+       match_ratio < T->kf_min_match_ratio || interval_due) &&
+      inliers.size() >= 25) {  // low-confidence poses never become keyframes
     std::vector<int> inl_mp, inl_row;
     for (int idx : inliers) {
       inl_mp.push_back(match_mp[idx]);

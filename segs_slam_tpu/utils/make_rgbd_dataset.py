@@ -83,6 +83,29 @@ def main(argv=None):
                  cx=w / 2, cy=h / 2)
     means, scales, quats, opac, colors = make_room_scene(
         args.gaussians, seed=args.seed)
+    if args.loop:
+        # close the box: make_room_scene leaves the z=0 face open (the room
+        # "entrance"); an inward-looking orbit sweeps past it and tracking
+        # starves there. Add a front wall so every orbit segment sees
+        # structure.
+        rng = np.random.default_rng(args.seed + 1)
+        n_front = args.gaussians // 5
+        u = rng.uniform(0, 1, n_front)
+        v = rng.uniform(0, 1, n_front)
+        front = np.stack(
+            [-2 + 4 * u, -1.5 + 3 * v, np.zeros(n_front)], axis=1
+        ).astype(np.float32)
+        fcol = np.stack([0.3 + 0.6 * u, 0.2 + 0.3 * v, 0.7 - 0.5 * u],
+                        axis=1).astype(np.float32)
+        fscale = np.exp(rng.uniform(-4.3, -3.0, (n_front, 3))).astype(
+            np.float32)
+        fquat = rng.normal(size=(n_front, 4)).astype(np.float32)
+        fquat /= np.linalg.norm(fquat, axis=1, keepdims=True)
+        means = np.concatenate([means, front])
+        colors = np.concatenate([colors, fcol])
+        scales = np.concatenate([scales, fscale])
+        quats = np.concatenate([quats, fquat])
+        opac = np.concatenate([opac, np.full(n_front, 0.9, np.float32)])
     # near-opaque surfaces: with semi-transparent gaussians the alpha-blended
     # depth mixes fore/background view-DEPENDENTLY (measured ~11% cross-view
     # inconsistency), which poisons RGB-D tracking and densification; with
