@@ -268,3 +268,61 @@ def test_no_acceptance_resurrection_deep_stack():
     np.testing.assert_allclose(
         np.asarray(out["image"]), ref["image"], atol=2e-4
     )
+
+
+def test_kmax_truncation_error_bound():
+    """Quantify the static-kmax footprint truncation: rendering a scene with
+    large gaussians at kmax=4/8/64 vs the untruncated NumPy oracle. Error
+    must shrink monotonically with kmax and be negligible once kmax covers
+    the largest footprint (preprocess.py clamps rects to kmax tiles)."""
+    import jax.numpy as jnp
+    from segs_slam_tpu.core.camera import Camera
+    from segs_slam_tpu.core.keyframe import Keyframe
+    from segs_slam_tpu.ops.rasterizer import RasterConfig, rasterize
+
+    rng = np.random.default_rng(11)
+    n = 200
+    means = rng.uniform([-1.2, -1.2, 2.0], [1.2, 1.2, 5.0], (n, 3)).astype(
+        np.float32)
+    # a handful of LARGE gaussians whose rects span many tiles
+    scales = np.exp(rng.uniform(-4.0, -3.0, (n, 3))).astype(np.float32)
+    scales[:12] = np.exp(rng.uniform(-1.6, -1.2, (12, 3)))
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.3, 0.9, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+
+    cam = Camera(camera_id=0, width=96, height=96, fx=90, fy=90, cx=48, cy=48)
+    kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
+    ref = render_reference(
+        means, scales, quats, opac, colors,
+        np.asarray(kf.world_view_transform),
+        np.asarray(kf.full_proj_transform), 96, 96,
+        cam.tan_fovx, cam.tan_fovy, np.zeros(3), tile=16,
+    )
+
+    errs = {}
+    for kmax in (4, 8, 64):
+        cfg = RasterConfig(tile=16, compact=512, kmax=kmax, chunk=128)
+        out = rasterize(
+            *(jnp.asarray(x) for x in (means, scales, quats, opac, colors)),
+            jnp.asarray(kf.world_view_transform),
+            jnp.asarray(kf.full_proj_transform), 96, 96,
+            cam.tan_fovx, cam.tan_fovy, jnp.zeros(3), config=cfg,
+            interpret=True,
+        )
+        errs[kmax] = float(
+            np.abs(np.asarray(out["image"]) - ref["image"]).mean()
+        )
+        if kmax == 4:
+            # truncation is active and VISIBLE in the metrics
+            assert int(out["num_kmax_truncated"]) > 0
+        if kmax == 64:
+            assert int(out["num_kmax_truncated"]) == 0
+
+    assert errs[4] >= errs[8] >= errs[64]
+    # 36 tiles (96x96 at tile 16) fully covered at kmax=64 -> oracle parity
+    assert errs[64] < 2e-4, errs
+    # documented bound: at kmax=8 the residual truncation error on this
+    # large-footprint-heavy scene stays under ~2% mean intensity
+    assert errs[8] < 0.02, errs
