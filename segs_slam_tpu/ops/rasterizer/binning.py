@@ -54,6 +54,7 @@ class BinnedInstances(NamedTuple):
     tile_start: jnp.ndarray  # (num_tiles,)
     tile_stop: jnp.ndarray  # (num_tiles,)
     num_instances: jnp.ndarray  # () int32
+    num_large: jnp.ndarray  # () int32 — gaussians with touched > ksmall
 
 
 def compact_gaussians(
@@ -117,6 +118,27 @@ def compact_gaussians(
     )
 
 
+def _expand_grid(cg_fields, nc, k_lo, k_hi, tx, num_tiles):
+    """Instance columns for slots k in [k_lo, k_hi) of nc gaussians.
+    cg_fields = (feats tuple, rect_min_x, rect_min_y, rect_w, touched,
+    depth, gid)."""
+    feats, rmx, rmy, rw_, touched, depth_, gid_ = cg_fields
+    kw = k_hi - k_lo
+    k = lax.broadcasted_iota(jnp.int32, (nc, kw), 1) + k_lo
+    ok = k < touched[:, None]
+    rw = jnp.maximum(rw_, 1)[:, None]
+    dy = k // rw
+    dx = k - dy * rw
+    tile = (rmy[:, None] + dy) * tx + (rmx[:, None] + dx)
+    tile = jnp.where(ok, tile, num_tiles).reshape(-1).astype(jnp.int32)
+    depth = jnp.broadcast_to(depth_[:, None], (nc, kw)).reshape(-1)
+    gid = jnp.broadcast_to(gid_[:, None], (nc, kw)).reshape(-1)
+    pays = tuple(
+        jnp.broadcast_to(f[:, None], (nc, kw)).reshape(-1) for f in feats
+    )
+    return tile, depth, gid, pays
+
+
 def expand_and_sort(
     cg: CompactGaussians,
     num_tiles_x: int,
@@ -127,18 +149,49 @@ def expand_and_sort(
     tx = num_tiles_x
     num_tiles = num_tiles_x * num_tiles_y
 
-    k = lax.broadcasted_iota(jnp.int32, (nc, km), 1)
-    ok = k < jnp.minimum(cg.touched, km)[:, None]
-    rw = jnp.maximum(cg.rect_w, 1)[:, None]
-    dy = k // rw
-    dx = k - dy * rw
-    tile = (cg.rect_min_y[:, None] + dy) * tx + (cg.rect_min_x[:, None] + dx)
-    tile = jnp.where(ok, tile, num_tiles).reshape(-1).astype(jnp.int32)
-    depth = jnp.broadcast_to(cg.depth[:, None], (nc, km)).reshape(-1)
-    gid = lax.broadcasted_iota(jnp.int32, (nc, km), 0).reshape(-1)
-    pays = tuple(
-        jnp.broadcast_to(f[:, None], (nc, km)).reshape(-1) for f in cg.feats
-    )
+    gid0 = jnp.arange(nc, dtype=jnp.int32)
+    touched = jnp.minimum(cg.touched, km)
+    base_fields = (cg.feats, cg.rect_min_x, cg.rect_min_y, cg.rect_w,
+                   touched, cg.depth, gid0)
+
+    if config.ksmall:
+        ks, nl = config.ksmall, config.nlarge
+        # every gaussian gets its first ks slots
+        tile_s, depth_s, gid_s, pays_s = _expand_grid(
+            base_fields, nc, 0, ks, tx, num_tiles
+        )
+        # the nlarge largest-footprint gaussians get the remaining slots:
+        # one cheap nc-row selection sort (large first, stable) carrying the
+        # fields needed for expansion + the ORIGINAL compact id (gradients
+        # segment-sum by that id)
+        sel_key = (touched <= ks).astype(jnp.int32)
+        sel = lax.sort(
+            (sel_key,)
+            + tuple(cg.feats)
+            + (cg.rect_min_x, cg.rect_min_y, cg.rect_w, touched, cg.depth,
+               gid0),
+            num_keys=1,
+            is_stable=True,
+        )
+        feats_l = tuple(f[:nl] for f in sel[1 : 1 + NPAY])
+        rmx_l, rmy_l, rw_l, touched_l, depth_l, gid_l = (
+            x[:nl] for x in sel[1 + NPAY:]
+        )
+        large_fields = (feats_l, rmx_l, rmy_l, rw_l, touched_l, depth_l,
+                        gid_l)
+        tile_l, depth_lc, gid_lc, pays_l = _expand_grid(
+            large_fields, nl, ks, km, tx, num_tiles
+        )
+        tile = jnp.concatenate([tile_s, tile_l])
+        depth = jnp.concatenate([depth_s, depth_lc])
+        gid = jnp.concatenate([gid_s, gid_lc])
+        pays = tuple(
+            jnp.concatenate([a, b]) for a, b in zip(pays_s, pays_l)
+        )
+    else:
+        tile, depth, gid, pays = _expand_grid(
+            base_fields, nc, 0, km, tx, num_tiles
+        )
 
     out = lax.sort((tile, depth, gid) + pays, num_keys=2, is_stable=True)
     tile_sorted = out[0]
@@ -153,10 +206,16 @@ def expand_and_sort(
     tile_stop = jnp.searchsorted(tile_sorted, tiles, side="right").astype(jnp.int32)
 
     num_instances = jnp.sum(jnp.minimum(cg.touched, km))
+    num_large = (
+        jnp.sum((touched > config.ksmall).astype(jnp.int32))
+        if config.ksmall
+        else jnp.int32(0)
+    )
     return BinnedInstances(
         feats_sorted=feats_sorted,
         gid_sorted=gid_sorted,
         tile_start=tile_start,
         tile_stop=tile_stop,
         num_instances=num_instances,
+        num_large=num_large,
     )

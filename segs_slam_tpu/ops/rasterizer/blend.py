@@ -500,7 +500,7 @@ def _binned_blend_fwd(feats, aux, bg, static):
 
     cg = compact_gaussians(feats, aux, cfg)
     binned = expand_and_sort(cg, tx, ty, cfg)
-    nk = cfg.compact * cfg.kmax
+    nk = cfg.max_instances
     feats_hbm = _stack_feats(binned.feats_sorted, nk, cfg.chunk)
 
     kern = functools.partial(_fwd_kernel, cfg=cfg, tx=tx, npix=npix)
@@ -595,7 +595,7 @@ def _binned_blend_bwd(static, residuals, cotangents):
         ncontrib,
     )
 
-    nk = cfg.compact * cfg.kmax
+    nk = cfg.max_instances
     dcols = dfeats[:NPAY, :nk].T  # [NK, NPAY]
     dcompact = jax.ops.segment_sum(
         dcols, gid_sorted, num_segments=cfg.compact

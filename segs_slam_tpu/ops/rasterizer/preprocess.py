@@ -40,6 +40,14 @@ class RasterConfig:
     alpha_min: float = 1.0 / 255.0  # forward.cu:422
     alpha_clamp: float = 0.99  # forward.cu:421
     transmittance_min: float = 1.0e-4  # forward.cu:425
+    # Dual-rate expansion (0 = off): most gaussians touch <= ksmall tiles,
+    # so the static [compact, kmax] instance grid wastes ~3x sort rows on
+    # sentinel slots. With ksmall > 0, every gaussian gets ksmall slots and
+    # only the nlarge largest-footprint gaussians get the remaining
+    # kmax - ksmall slots — shrinking the dominant (tile, depth) payload
+    # sort by ~compact*kmax / (compact*ksmall + nlarge*(kmax-ksmall)).
+    ksmall: int = 0
+    nlarge: int = 0
 
     def grid(self, width: int, height: int) -> tuple[int, int]:
         tx = (width + self.tile - 1) // self.tile
@@ -48,6 +56,10 @@ class RasterConfig:
 
     @property
     def max_instances(self) -> int:
+        if self.ksmall:
+            return self.compact * self.ksmall + self.nlarge * (
+                self.kmax - self.ksmall
+            )
         return self.compact * self.kmax
 
 

@@ -326,3 +326,59 @@ def test_kmax_truncation_error_bound():
     # documented bound: at kmax=8 the residual truncation error on this
     # large-footprint-heavy scene stays under ~2% mean intensity
     assert errs[8] < 0.02, errs
+
+
+def test_dual_rate_expansion_parity():
+    """ksmall/nlarge dual-rate expansion must render EXACTLY like the full
+    [compact, kmax] grid when nlarge covers every large-footprint gaussian,
+    with matching gradients (binning.expand_and_sort)."""
+    import jax
+    import jax.numpy as jnp
+    from segs_slam_tpu.core.camera import Camera
+    from segs_slam_tpu.core.keyframe import Keyframe
+    from segs_slam_tpu.ops.rasterizer import RasterConfig, rasterize
+
+    rng = np.random.default_rng(13)
+    n = 300
+    means = rng.uniform([-1.2, -1.2, 2.0], [1.2, 1.2, 5.0], (n, 3)).astype(
+        np.float32)
+    scales = np.exp(rng.uniform(-4.0, -3.0, (n, 3))).astype(np.float32)
+    scales[:20] = np.exp(rng.uniform(-2.2, -1.6, (20, 3)))  # large footprints
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.3, 0.9, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+
+    cam = Camera(camera_id=0, width=96, height=96, fx=90, fy=90, cx=48, cy=48)
+    kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
+    arrs = tuple(jnp.asarray(x) for x in (means, scales, quats, opac))
+
+    def run(cfg):
+        def loss(c):
+            out = rasterize(
+                *arrs, c, jnp.asarray(kf.world_view_transform),
+                jnp.asarray(kf.full_proj_transform), 96, 96,
+                cam.tan_fovx, cam.tan_fovy, jnp.zeros(3), config=cfg,
+                interpret=True,
+            )
+            return jnp.abs(out["image"]).mean(), out["image"]
+
+        (v, img), g = jax.value_and_grad(loss, has_aux=True)(
+            jnp.asarray(colors)
+        )
+        return np.asarray(img), np.asarray(g)
+
+    single = RasterConfig(tile=16, compact=512, kmax=16, chunk=128)
+    dual = RasterConfig(tile=16, compact=512, kmax=16, chunk=128,
+                        ksmall=4, nlarge=64)
+    img_s, g_s = run(single)
+    img_d, g_d = run(dual)
+    np.testing.assert_allclose(img_d, img_s, atol=1e-6)
+    np.testing.assert_allclose(g_d, g_s, atol=1e-6)
+
+    # under-provisioned nlarge degrades gracefully (image still finite and
+    # close; large gaussians beyond nlarge keep only their first ksmall tiles)
+    tiny = RasterConfig(tile=16, compact=512, kmax=16, chunk=128,
+                        ksmall=4, nlarge=8)
+    img_t, _ = run(tiny)
+    assert np.isfinite(img_t).all()
