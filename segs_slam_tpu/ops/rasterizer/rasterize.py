@@ -153,6 +153,20 @@ def rasterize(
         "num_instances": num_instances,
         "num_compact": num_compact,
         "num_kmax_truncated": proj.kmax_truncated,
+        # dual-rate footprint pressure: gaussians needing more than ksmall
+        # tiles (only the nlarge largest get them; compare against
+        # config.nlarge to detect truncation)
+        "num_large": (
+            jnp.sum(
+                (
+                    jnp.minimum(proj.tiles_touched, config.kmax)
+                    > config.ksmall
+                ).astype(jnp.int32)
+                * (proj.radius > 0).astype(jnp.int32)
+            )
+            if config.ksmall
+            else jnp.int32(0)
+        ),
         "depth": proj.depth,
     }
 
