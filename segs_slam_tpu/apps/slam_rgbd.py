@@ -199,6 +199,9 @@ def main(argv=None):
                   help="pace the frame feed (0 = free-run)")
     p.add_argument("--min-init-kfs", type=int, default=10)
     p.add_argument("--debug-ckpt-at", type=int, default=0)
+    p.add_argument("--pose-refine-every", type=int, default=0,
+                   help="photometric keyframe-pose refinement cadence "
+                        "(0 = off; try 25 with --tracker native)")
     # intrinsic overrides (e.g. synthetic datasets)
     p.add_argument("--fx", type=float, default=0)
     p.add_argument("--fy", type=float, default=0)
@@ -262,7 +265,8 @@ def main(argv=None):
     trainer.scene.add_camera(cam)
     queue = MappingQueue()
     mapper = Mapper(queue, trainer, cam,
-                    MapperConfig(min_num_initial_map_kfs=args.min_init_kfs))
+                    MapperConfig(min_num_initial_map_kfs=args.min_init_kfs,
+                                 pose_refine_every=args.pose_refine_every))
     mapper.debug_ckpt_at = args.debug_ckpt_at
 
     tracking_times: list[float] = []

@@ -46,6 +46,11 @@ class MapperConfig:
     loop_closure_increased_times_of_use: int = 2
     cull_keyframes: bool = False
     inactive_geo_densify: bool = False
+    # photometric keyframe-pose refinement cadence (0 = off): every N train
+    # iterations one keyframe pose is optimized through the differentiable
+    # renderer (absorbs tracker pose error; beyond reference scope)
+    pose_refine_every: int = 0
+    pose_refine_warmup: int = 500
     depth_cache: int = 10
     min_depth: float = 1e-10
     max_depth: float = 40.0
@@ -71,6 +76,7 @@ class Mapper:
         self._depth_point_cache: list[np.ndarray] = []
         self._cached_frames = 0
         self.metrics_history: list[dict] = []
+        self._refine_rr = 0
         self.debug_ckpt_at = 0
         self.debug_ckpt_path = "/tmp/mapper_debug_ckpt"
 
@@ -197,6 +203,15 @@ class Mapper:
                     break  # producer ended before enough keyframes arrived
                 continue
             m = self.trainer.train_iteration()
+            if (self.config.pose_refine_every
+                    and self.trainer.iteration >= self.config.pose_refine_warmup
+                    and self.trainer.iteration % self.config.pose_refine_every
+                    == 0):
+                kfs = list(self.trainer.scene.keyframes.values())
+                if kfs:
+                    kf = kfs[self._refine_rr % len(kfs)]
+                    self._refine_rr += 1
+                    self.trainer.refine_keyframe_pose(kf)
             if (self.debug_ckpt_at and
                     self.trainer.iteration == self.debug_ckpt_at):
                 from segs_slam_tpu.io.checkpoint import save_train_state

@@ -190,6 +190,137 @@ class Trainer:
             self._gt_cache[(kf.kf_id, level)] = gt
         return cam, gt
 
+    # --- photometric keyframe-pose refinement -------------------------------
+    # The reference takes the SLAM poses as given; a differentiable renderer
+    # makes poses optimizable directly: a few steepest-descent steps on an
+    # SE3 tangent delta minimizing the photometric L1 against the keyframe
+    # image. Absorbs visual-odometry pose error (the dominant quality gap
+    # between native-tracker and pose-oracle runs).
+    def _pose_refine_fn(self):
+        if not hasattr(self, "_pose_refine_jit"):
+            mc, rc = self.model_config, self.raster_config
+            width, height, bg = self.width, self.height, self._bg
+
+            from segs_slam_tpu.core import se3
+
+            def _delta_cam(delta, wvt0, projmat, tanfx, tanfy, pose7):
+                # left-multiply exp(delta) onto W2C: delta = (omega, ups)
+                w, v = delta[:3], delta[3:]
+                # smooth at w=0: plain norm has a NaN gradient there, which
+                # poisons the very first descent step (delta starts at 0)
+                th = jnp.sqrt(jnp.sum(w * w) + 1e-16)
+                K = jnp.array([
+                    [0.0, -w[2], w[1]],
+                    [w[2], 0.0, -w[0]],
+                    [-w[1], w[0], 0.0],
+                ])
+                R = (jnp.eye(3) + jnp.sin(th) / th * K
+                     + (1 - jnp.cos(th)) / th**2 * (K @ K))
+                W2C0 = wvt0.T
+                Rn = R @ W2C0[:3, :3]
+                tn = R @ W2C0[:3, 3] + v
+                W2C = jnp.eye(4).at[:3, :3].set(Rn).at[:3, 3].set(tn)
+                wvt = W2C.T
+                return {
+                    "world_view_transform": wvt,
+                    "full_proj_transform": wvt @ projmat,
+                    "camera_center": -Rn.T @ tn,
+                    # appearance input held at the ORIGINAL pose: gradients
+                    # must flow through geometry, not through the appearance
+                    # MLP's color modulation
+                    "pose7": pose7,
+                    "tan_fovx": tanfx,
+                    "tan_fovy": tanfy,
+                }
+
+            def _pool(img):
+                # 4x4 average pooling widens the photometric basin
+                c, hh, ww = img.shape
+                h4, w4 = (hh // 4) * 4, (ww // 4) * 4
+                return img[:, :h4, :w4].reshape(
+                    c, h4 // 4, 4, w4 // 4, 4
+                ).mean(axis=(2, 4))
+
+            def _loss(delta, anchors, decoders, wvt0, projmat, tanfx, tanfy,
+                      pose7, gt):
+                cam = _delta_cam(delta, wvt0, projmat, tanfx, tanfy, pose7)
+                img = render(anchors, decoders, cam, width, height, bg, mc,
+                             rc, interpret=self.interpret).image
+                mask = jnp.any(gt != 0.0, axis=0, keepdims=True)
+                return jnp.abs(
+                    _pool(img * mask) - _pool(gt * mask)
+                ).mean()
+
+            def _refine(anchors, decoders, wvt0, projmat, tanfx, tanfy,
+                        pose7, gt, lr, steps):
+                args = (anchors, decoders, wvt0, projmat, tanfx, tanfy,
+                        pose7, gt)
+                vg = jax.value_and_grad(_loss)
+
+                def body(i, carry):
+                    delta, best = carry
+                    _, g = vg(delta, *args)
+                    gr = g[:3] / (jnp.linalg.norm(g[:3]) + 1e-12)
+                    gt_ = g[3:] / (jnp.linalg.norm(g[3:]) + 1e-12)
+                    d = jnp.concatenate([gr, gt_])
+                    # backtracking: try three step lengths, keep the best
+                    cands = jnp.stack([
+                        delta - lr * d,
+                        delta - 0.3 * lr * d,
+                        delta - 0.1 * lr * d,
+                    ])
+                    ls = jnp.stack([
+                        _loss(cands[0], *args),
+                        _loss(cands[1], *args),
+                        _loss(cands[2], *args),
+                    ])
+                    j = jnp.argmin(ls)
+                    better = ls[j] < best
+                    delta = jnp.where(better, cands[j], delta)
+                    best = jnp.where(better, ls[j], best)
+                    return delta, best
+
+                d0 = jnp.zeros(6, jnp.float32)
+                l0 = _loss(d0, *args)
+                delta, l1 = jax.lax.fori_loop(0, steps, body, (d0, l0))
+                return jnp.where(l1 < l0, delta, d0), l0, l1
+
+            self._pose_refine_jit = jax.jit(_refine, static_argnames="steps")
+        return self._pose_refine_jit
+
+    def refine_keyframe_pose(self, kf: Keyframe, steps: int = 5,
+                             lr: float = 4e-3) -> float:
+        """Refine one keyframe's pose photometrically; updates the keyframe
+        in place and returns the loss improvement (>= 0)."""
+        cam, gt = self._kf_inputs(kf)
+        delta, l0, l1 = self._pose_refine_fn()(
+            self.state.anchors, self.state.decoders,
+            cam["world_view_transform"], jnp.asarray(kf.projection),
+            cam["tan_fovx"], cam["tan_fovy"], cam["pose7"], gt, lr, steps,
+        )
+        delta = np.asarray(delta, np.float64)
+        if not np.any(delta):
+            return 0.0
+        w, v = delta[:3], delta[3:]
+        th = np.linalg.norm(w) + 1e-12
+        K = np.array([
+            [0.0, -w[2], w[1]],
+            [w[2], 0.0, -w[0]],
+            [-w[1], w[0], 0.0],
+        ])
+        R = (np.eye(3) + np.sin(th) / th * K
+             + (1 - np.cos(th)) / th**2 * (K @ K))
+        R0 = kf.rotation_matrix()
+        t0 = np.asarray(kf.trans)
+        Rn = R @ R0
+        tn = R @ t0 + v
+        from segs_slam_tpu.core import se3
+
+        q = np.asarray(se3.rotmat_to_quat(jnp.asarray(Rn, jnp.float32)))
+        kf.set_pose(q, tn)
+        self._cam_cache.pop(kf.kf_id, None)
+        return float(l0 - l1)
+
     def train_iteration(self):
         kf = self.scene.sample_sliding_window_keyframe()
         if kf is None:
