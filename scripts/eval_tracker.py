@@ -97,9 +97,10 @@ def main():
 
     print(f"frames={len(frames)} keyframes={n_kf} "
           f"fps={len(frames) / dt:.1f}")
-    print(f"ATE online (all frames): {ate_online["ate_rmse"]:.4f} m"
+    print(f"ATE online (all frames): {ate_online['ate_rmse']:.4f} m"
           f"{' (scale-corrected)' if args.mono else ''}")
-    print(f"ATE final trajectory ({len(ids)} kfs): {ate_final["ate_rmse"]:.4f} m")
+    print(f"ATE final trajectory ({len(ids)} kfs): "
+          f"{ate_final['ate_rmse']:.4f} m")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,101 @@
+"""Shared CLI config resolution for the online SLAM apps.
+
+Centralizes the flags and the reference-YAML ingest path so slam_rgbd /
+slam_mono / slam_stereo all consume the reference's own
+cfg/gaussian_mapper/<Sensor>/<Dataset>/*.yaml operating points (reference
+ingest: readConfigFromFile, src/gaussian_mapper.cpp:224-521) instead of
+hardcoded defaults, and all get the dual-rate rasterizer + undistortion
+plumbing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from segs_slam_tpu.models.config import ModelConfig
+from segs_slam_tpu.ops.rasterizer import RasterConfig
+from segs_slam_tpu.slam.mapper import MapperConfig
+from segs_slam_tpu.train.config import OptimizationConfig
+
+# Per-dataset radial-tangential distortion (k1 k2 p1 p2 k3) defaults
+# (reference: cfg/ORB_SLAM3/RGB-D/TUM/tum_freiburg1_desk.yaml Camera1.k1...;
+# Replica/ScanNet exports are pre-undistorted).
+DATASET_DIST_COEFFS = {
+    "tum": (0.262383, -0.953104, -0.005358, 0.002628, 1.163314),  # fr1
+    "replica": (0.0, 0.0, 0.0, 0.0, 0.0),
+    "scannet": (0.0, 0.0, 0.0, 0.0, 0.0),
+}
+
+
+def add_common_args(p, default_compact=2**16, default_kmax=8):
+    p.add_argument("--mapper-yaml", default="",
+                   help="reference gaussian-mapper YAML "
+                        "(cfg/gaussian_mapper/...); drives model/optimization"
+                        "/mapper/pyramid settings like the reference ingest")
+    p.add_argument("--capacity", type=int, default=2**16)
+    p.add_argument("--compact", type=int, default=default_compact)
+    p.add_argument("--kmax", type=int, default=default_kmax)
+    # Dual-rate instance expansion (binning.py): every gaussian gets ksmall
+    # tile slots, only the nlarge largest-footprint ones get up to kmax —
+    # shrinks the dominant (tile, depth) sort ~3x with exact parity in the
+    # common case. 0 disables (full [compact, kmax] grid).
+    p.add_argument("--ksmall", type=int, default=4)
+    p.add_argument("--nlarge", type=int, default=2**13)
+    p.add_argument("--undistort", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="radtan undistortion of input images (auto = on "
+                        "when the dataset preset carries coefficients)")
+    p.add_argument("--dist-coeffs", type=float, nargs=5, default=None,
+                   metavar=("K1", "K2", "P1", "P2", "K3"),
+                   help="override distortion coefficients")
+
+
+def resolve_dist_coeffs(args, dataset: str):
+    """Distortion coefficients for the run, or None when disabled/zero."""
+    if args.undistort == "off":
+        return None
+    coeffs = (tuple(args.dist_coeffs) if args.dist_coeffs is not None
+              else DATASET_DIST_COEFFS.get(dataset, (0.0,) * 5))
+    if not any(coeffs):
+        return None
+    return coeffs
+
+
+def resolve_configs(args, iters_budget: int, mapper_overrides: dict | None
+                    = None):
+    """(ModelConfig, OptimizationConfig, MapperConfig, RasterConfig,
+    trainer_kwargs) from the CLI + optional reference YAML.
+
+    YAML (when given) is authoritative for model/optimization/mapper keys;
+    explicit CLI values override iters/capacity; mapper_overrides (e.g.
+    pose_refine_every from app flags) override the YAML mapper keys.
+    """
+    trainer_kwargs: dict = {}
+    if args.mapper_yaml:
+        from segs_slam_tpu.io.config_yaml import load_mapper_yaml
+
+        mc, oc, mpc, extras = load_mapper_yaml(args.mapper_yaml,
+                                               capacity=args.capacity)
+        if iters_budget:
+            oc = dataclasses.replace(oc, iterations=iters_budget)
+        # GausPyramid.* -> Trainer coarse-to-fine supervision
+        # (reference: src/gaussian_mapper.cpp:837-859)
+        if extras.get("gaus_pyramid_do"):
+            trainer_kwargs["num_pyramid_sub_levels"] = extras[
+                "gaus_pyramid_num_sub_levels"]
+            trainer_kwargs["pyramid_times_of_use"] = extras[
+                "gaus_pyramid_times_of_use"]
+        trainer_kwargs["white_background"] = extras.get(
+            "white_background", False)
+        trainer_kwargs["keyframe_times_of_use"] = (
+            mpc.new_keyframe_times_of_use)
+    else:
+        mc = ModelConfig(capacity=args.capacity)
+        oc = OptimizationConfig(iterations=iters_budget)
+        mpc = MapperConfig()
+    if mapper_overrides:
+        mpc = dataclasses.replace(mpc, **mapper_overrides)
+    rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax,
+                      chunk=256, ksmall=args.ksmall,
+                      nlarge=args.nlarge if args.ksmall else 0)
+    return mc, oc, mpc, rc, trainer_kwargs

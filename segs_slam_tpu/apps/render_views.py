@@ -57,6 +57,8 @@ def main(argv=None):
     p.add_argument("--capacity", type=int, default=2**14)
     p.add_argument("--compact", type=int, default=2**15)
     p.add_argument("--kmax", type=int, default=8)
+    p.add_argument("--ksmall", type=int, default=4)
+    p.add_argument("--nlarge", type=int, default=2**13)
     args = p.parse_args(argv)
 
     from PIL import Image
@@ -78,7 +80,9 @@ def main(argv=None):
     w = h = args.size
     cam = Camera(camera_id=0, width=w, height=h, fx=0.9 * w, fy=0.9 * w,
                  cx=w / 2, cy=h / 2)
-    rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax, chunk=256)
+    rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax, chunk=256,
+                      ksmall=args.ksmall,
+                      nlarge=args.nlarge if args.ksmall else 0)
 
     anchors_np = np.asarray(ts.anchors.anchor)
     active = np.asarray(ts.anchors.active)

@@ -43,6 +43,7 @@ from segs_slam_tpu.slam.protocol import (
 )
 from segs_slam_tpu.train.config import OptimizationConfig
 from segs_slam_tpu.train.trainer import Trainer
+from segs_slam_tpu.apps.common import add_common_args, resolve_configs
 from segs_slam_tpu.apps.slam_rgbd import DATASET_DEFAULTS
 
 
@@ -129,9 +130,7 @@ def main(argv=None):
     p.add_argument("--out", default="results/mono_run")
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--iters-budget", type=int, default=30_000)
-    p.add_argument("--capacity", type=int, default=2**16)
-    p.add_argument("--compact", type=int, default=2**16)
-    p.add_argument("--kmax", type=int, default=8)
+    add_common_args(p)
     p.add_argument("--fps", type=float, default=0.0)
     p.add_argument("--min-init-kfs", type=int, default=5)
     p.add_argument("--fx", type=float, default=0)
@@ -164,20 +163,19 @@ def main(argv=None):
         frames = frames[: args.max_frames]
     print(f"{len(frames)} frames (mono)")
 
-    mc = ModelConfig(capacity=args.capacity)
-    oc = OptimizationConfig(iterations=args.iters_budget)
-    rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax, chunk=256)
-    trainer = Trainer(mc, oc, rc, width=cam.width, height=cam.height)
+    mc, oc, mpc, rc, trainer_kwargs = resolve_configs(
+        args, args.iters_budget,
+        mapper_overrides=dict(min_num_initial_map_kfs=args.min_init_kfs,
+                              inactive_geo_densify=True,
+                              # mono scale: bound the densify band to the
+                              # tracker's normalized map depth, not meters
+                              min_depth=0.05, max_depth=20.0),
+    )
+    trainer = Trainer(mc, oc, rc, width=cam.width, height=cam.height,
+                      **trainer_kwargs)
     trainer.scene.add_camera(cam)
     queue = MappingQueue()
-    mapper = Mapper(
-        queue, trainer, cam,
-        MapperConfig(min_num_initial_map_kfs=args.min_init_kfs,
-                     inactive_geo_densify=True,
-                     # mono scale: bound the densify band to the tracker's
-                     # normalized map depth, not metric meters
-                     min_depth=0.05, max_depth=20.0),
-    )
+    mapper = Mapper(queue, trainer, cam, mpc)
 
     tracking_times: list[float] = []
     stop_event = threading.Event()

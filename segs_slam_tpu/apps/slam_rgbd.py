@@ -20,6 +20,11 @@ from pathlib import Path
 
 import numpy as np
 
+from segs_slam_tpu.apps.common import (
+    add_common_args,
+    resolve_configs,
+    resolve_dist_coeffs,
+)
 from segs_slam_tpu.core.camera import Camera
 from segs_slam_tpu.eval import metrics as M
 from segs_slam_tpu.eval.recorder import record_all_keyframes
@@ -52,8 +57,16 @@ DATASET_DEFAULTS = {
 
 def run_producer(frames, camera, queue, tracker_kind, depth_scale,
                  keyframe_every, points_per_kf, tracking_times, stop_event,
-                 fps=0.0):
-    """Tracking thread: decode + track + push keyframe operations."""
+                 fps=0.0, dist_coeffs=None):
+    """Tracking thread: decode + undistort + track + push keyframe ops.
+
+    When `dist_coeffs` is set, images are undistorted before anything sees
+    them (reference: Camera::initUndistortRectifyMapAndMask,
+    include/camera.h:76-113) — natively in the loader worker pool, or via
+    core.undistort.UndistortMap on the fallback path. Out-of-map border
+    pixels come back black, which the photometric losses already mask
+    (gt != 0), matching the reference's white-image undistort mask.
+    """
     rng = np.random.default_rng(0)
     next_pid = [0]
 
@@ -62,6 +75,14 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
         use_native_loader = native_available()
     except Exception:
         use_native_loader = False
+
+    umap = None
+    if dist_coeffs is not None and not use_native_loader:
+        import dataclasses as _dc
+
+        from segs_slam_tpu.core.undistort import UndistortMap
+
+        umap = UndistortMap(_dc.replace(camera, dist_coeffs=tuple(dist_coeffs)))
 
     tracker = None
     if tracker_kind == "native":
@@ -106,12 +127,20 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
             [f.depth_path for f in frames],
             depth_scale=depth_scale,
             n_threads=4,
+            dist_coeffs=dist_coeffs,
+            intrinsics=(camera.fx, camera.fy, camera.cx, camera.cy),
         )
         frame_iter = ((i, rgb, depth) for i, rgb, depth in loader)
     else:
         def _it():
             for i, f in enumerate(frames):
-                yield i, f.load_rgb(), f.load_depth(depth_scale)
+                rgb = f.load_rgb()
+                depth = f.load_depth(depth_scale)
+                if umap is not None:
+                    rgb = umap.remap(rgb)
+                    if depth is not None:
+                        depth = umap.remap(depth)
+                yield i, rgb, depth
         frame_iter = _it()
 
     est_rows = []
@@ -146,7 +175,12 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
             is_kf = i % keyframe_every == 0
             kp = None
         tracking_times.append(time.perf_counter() - t0)
-        est_rows.append((fr.timestamp, quat.copy(), np.asarray(trans).copy()))
+        # carry the dataset frame index so the final-trajectory rewrite keys
+        # rows by frame id (est_rows gets a row for EVERY frame while
+        # fed_frames only appends on the native-tracker branch — positional
+        # indexing misaligns as soon as one frame falls to the oracle branch)
+        est_rows.append((i, fr.timestamp, quat.copy(),
+                         np.asarray(trans).copy()))
         if is_kf:
             push_keyframe(i, fr, rgb, depth, np.asarray(quat),
                           np.asarray(trans), kp, pose_updates)
@@ -169,16 +203,15 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
         op = MappingOperation(kind=OperationKind.LOCAL_MAPPING_BA)
         op.pose_updates = _tracker_pose_updates(fnos, poses)
         queue.push(op)
-        # overwrite est_rows poses for keyframe frames with final poses
+        # overwrite est_rows poses for keyframe frames with final poses,
+        # keyed by dataset frame index (NOT positional — see est_rows note)
         final = {fed_frames[f]: p for f, p in zip(fnos, poses)
                  if 0 <= f < len(fed_frames)}
-        for j, (ts, q, t) in enumerate(est_rows):
-            # est_rows is indexed by feed order == fed_frames order
-            fi = fed_frames[j] if j < len(fed_frames) else None
+        for j, (fi, ts, q, t) in enumerate(est_rows):
             if fi in final:
                 p = final[fi]
-                est_rows[j] = (ts, p[3:7].copy(), p[0:3].copy())
-    return est_rows
+                est_rows[j] = (fi, ts, p[3:7].copy(), p[0:3].copy())
+    return [(ts, q, t) for _, ts, q, t in est_rows]
 
 
 def main(argv=None):
@@ -191,9 +224,7 @@ def main(argv=None):
     p.add_argument("--keyframe-every", type=int, default=10)
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--iters-budget", type=int, default=30_000)
-    p.add_argument("--capacity", type=int, default=2**16)
-    p.add_argument("--compact", type=int, default=2**16)
-    p.add_argument("--kmax", type=int, default=8)
+    add_common_args(p)
     p.add_argument("--downscale", type=int, default=1)
     p.add_argument("--fps", type=float, default=0.0,
                   help="pace the frame feed (0 = free-run)")
@@ -202,6 +233,12 @@ def main(argv=None):
     p.add_argument("--pose-refine-every", type=int, default=0,
                    help="photometric keyframe-pose refinement cadence "
                         "(0 = off; try 25 with --tracker native)")
+    p.add_argument("--all-frames-eval", action="store_true",
+                   help="post-run novel-view eval over EVERY tracked frame "
+                        "(reference: renderAndRecordAllframes)")
+    p.add_argument("--all-frames-images", action="store_true",
+                   help="also dump strided renders/GT pngs for the "
+                        "all-frames eval")
     # intrinsic overrides (e.g. synthetic datasets)
     p.add_argument("--fx", type=float, default=0)
     p.add_argument("--fy", type=float, default=0)
@@ -258,16 +295,20 @@ def main(argv=None):
                 f"--cx/--cy to match the dataset."
             )
 
-    mc = ModelConfig(capacity=args.capacity)
-    oc = OptimizationConfig(iterations=args.iters_budget)
-    rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax, chunk=256)
-    trainer = Trainer(mc, oc, rc, width=cam.width, height=cam.height)
+    mc, oc, mpc, rc, trainer_kwargs = resolve_configs(
+        args, args.iters_budget,
+        mapper_overrides=dict(min_num_initial_map_kfs=args.min_init_kfs,
+                              pose_refine_every=args.pose_refine_every),
+    )
+    trainer = Trainer(mc, oc, rc, width=cam.width, height=cam.height,
+                      **trainer_kwargs)
     trainer.scene.add_camera(cam)
     queue = MappingQueue()
-    mapper = Mapper(queue, trainer, cam,
-                    MapperConfig(min_num_initial_map_kfs=args.min_init_kfs,
-                                 pose_refine_every=args.pose_refine_every))
+    mapper = Mapper(queue, trainer, cam, mpc)
     mapper.debug_ckpt_at = args.debug_ckpt_at
+    dist_coeffs = resolve_dist_coeffs(args, args.dataset)
+    if dist_coeffs is not None:
+        print(f"undistortion on: k={dist_coeffs}")
 
     tracking_times: list[float] = []
     stop_event = threading.Event()
@@ -277,7 +318,7 @@ def main(argv=None):
         est_rows_box.extend(
             run_producer(frames, cam, queue, args.tracker, d["depth_scale"],
                          args.keyframe_every, 300, tracking_times, stop_event,
-                         fps=args.fps)
+                         fps=args.fps, dist_coeffs=dist_coeffs)
         )
         mapper.signal_stop()
 
@@ -324,6 +365,13 @@ def main(argv=None):
 
     agg = record_all_keyframes(trainer, out, tracking_times=tracking_times,
                                total_runtime_s=runtime)
+    if args.all_frames_eval and est_rows_box:
+        from segs_slam_tpu.eval.recorder import record_all_frames
+
+        est_poses = [(q, t) for _, q, t in est_rows_box]
+        af = record_all_frames(trainer, out, frames, est_poses, cam,
+                               record_images=args.all_frames_images)
+        print("all-frames eval:", {k: round(v, 3) for k, v in af.items()})
     trainer.save_ply(out / "anchors.ply")
     from segs_slam_tpu.io.checkpoint import save_mlp_checkpoints_txt, save_cameras_json
 

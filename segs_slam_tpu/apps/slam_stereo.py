@@ -39,6 +39,7 @@ from segs_slam_tpu.slam.protocol import (
 )
 from segs_slam_tpu.train.config import OptimizationConfig
 from segs_slam_tpu.train.trainer import Trainer
+from segs_slam_tpu.apps.common import add_common_args, resolve_configs
 
 # EuRoC MAV cam0/cam1 calibration (mav0/cam*/sensor.yaml; the same constants
 # the reference ships in its EuRoC ORB-SLAM3 yaml).
@@ -205,9 +206,7 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--frame-stride", type=int, default=1)
     p.add_argument("--iters-budget", type=int, default=30_000)
-    p.add_argument("--capacity", type=int, default=2**16)
-    p.add_argument("--compact", type=int, default=2**16)
-    p.add_argument("--kmax", type=int, default=16)
+    add_common_args(p, default_kmax=16)
     p.add_argument("--downscale", type=int, default=2)
     p.add_argument("--min-init-kfs", type=int, default=10)
     p.add_argument("--pre-rectified", action="store_true",
@@ -236,14 +235,15 @@ def main(argv=None):
         rectifier = build_rectifier(args.downscale)
     cam = rectifier.camera
 
-    mc = ModelConfig(capacity=args.capacity)
-    oc = OptimizationConfig(iterations=args.iters_budget)
-    rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax, chunk=256)
-    trainer = Trainer(mc, oc, rc, width=cam.width, height=cam.height)
+    mc, oc, mpc, rc, trainer_kwargs = resolve_configs(
+        args, args.iters_budget,
+        mapper_overrides=dict(min_num_initial_map_kfs=args.min_init_kfs),
+    )
+    trainer = Trainer(mc, oc, rc, width=cam.width, height=cam.height,
+                      **trainer_kwargs)
     trainer.scene.add_camera(cam)
     queue = MappingQueue()
-    mapper = Mapper(queue, trainer, cam,
-                    MapperConfig(min_num_initial_map_kfs=args.min_init_kfs))
+    mapper = Mapper(queue, trainer, cam, mpc)
 
     tracking_times: list[float] = []
     stop_event = threading.Event()

@@ -37,6 +37,8 @@ def main(argv=None):
     p.add_argument("--capacity", type=int, default=2**16)
     p.add_argument("--compact", type=int, default=2**16)
     p.add_argument("--kmax", type=int, default=8)
+    p.add_argument("--ksmall", type=int, default=4)
+    p.add_argument("--nlarge", type=int, default=2**13)
     p.add_argument("--downscale", type=int, default=1)
     p.add_argument("--out", default="")
     p.add_argument("--log-every", type=int, default=500)
@@ -62,7 +64,9 @@ def main(argv=None):
     cam = Camera(camera_id=cam0.camera_id, width=cam0.width // s,
                  height=cam0.height // s, fx=fx / s, fy=fy / s,
                  cx=cx / s, cy=cy / s)
-    rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax, chunk=256)
+    rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax, chunk=256,
+                      ksmall=args.ksmall,
+                      nlarge=args.nlarge if args.ksmall else 0)
     trainer = Trainer(mc, oc, rc, width=cam.width, height=cam.height)
     trainer.scene.add_camera(cam)
 

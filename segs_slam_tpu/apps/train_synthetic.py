@@ -36,6 +36,8 @@ def main(argv=None):
     p.add_argument("--capacity", type=int, default=2**14)
     p.add_argument("--compact", type=int, default=2**15)
     p.add_argument("--kmax", type=int, default=8)
+    p.add_argument("--ksmall", type=int, default=4)
+    p.add_argument("--nlarge", type=int, default=2**13)
     p.add_argument("--n-offsets", type=int, default=10)
     p.add_argument("--seed-points", type=int, default=1500)
     p.add_argument("--voxel-size", type=float, default=0.02)
@@ -65,7 +67,9 @@ def main(argv=None):
         high_frequency_regularization_start=min(5_000, args.iters // 6),
         use_frequency_regularization=args.freq_reg,
     )
-    rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax, chunk=256)
+    rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax, chunk=256,
+                      ksmall=args.ksmall,
+                      nlarge=args.nlarge if args.ksmall else 0)
 
     trainer = Trainer(mc, oc, rc, width=w, height=h)
     trainer.scene.add_camera(cam)

@@ -106,3 +106,104 @@ def record_all_keyframes(trainer, out_dir: str | Path,
         "psnr_gs": float(np.mean(psnr_gs)) if psnr_gs else 0.0,
         "render_fps": 1000.0 / np.mean(render_ms) if render_ms else 0.0,
     }
+
+
+def record_all_frames(trainer, out_dir: str | Path, frames, est_poses,
+                      camera, record_images: bool = False,
+                      image_stride: int = 20,
+                      batch: int = 16) -> dict:
+    """Novel-view evaluation over EVERY tracked frame, not just keyframes
+    (reference: renderAndRecordAllframes, src/gaussian_mapper.cpp:1983-2125,
+    driven post-run by examples/tum_rgbd.cpp:272-620). Renders each frame at
+    its estimated pose against the dataset ground-truth image and writes the
+    reference's `<iteration>_images/` artifact layout:
+
+      <out>/<iter>_images/all_image/  all_image_gt/  (pngs, strided)
+      <out>/<iter>_images/dssim.txt  psnr_gaussian_splatting.txt  psnr.txt
+      <out>/<iter>_images/render_time.txt  AllCameraTrajectory_TUM.txt
+
+    `frames` are dataset frame records (load_rgb()); `est_poses` is a list of
+    (quat, trans) world-to-camera estimates, one per frame (None entries are
+    skipped). Frames are processed in pipelined batches of `batch` dispatches
+    per device sync to bound host-side image memory.
+    """
+    import jax.numpy as jnp
+
+    from segs_slam_tpu.core.keyframe import Keyframe
+
+    out = Path(out_dir) / f"{trainer.iteration}_images"
+    img_dir = out / "all_image"
+    gt_dir = out / "all_image_gt"
+    out.mkdir(parents=True, exist_ok=True)
+    if record_images:
+        img_dir.mkdir(exist_ok=True)
+        gt_dir.mkdir(exist_ok=True)
+
+    fn = trainer._eval_render_metrics()
+
+    def _inputs(fr, pose):
+        quat, trans = pose
+        kf = Keyframe(kf_id=0, camera=camera, quat=quat, trans=trans)
+        cam = {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
+        img = fr.load_rgb()
+        if img.shape[0] != 3:
+            img = np.transpose(img, (2, 0, 1))
+        return cam, jnp.asarray(img, jnp.float32)
+
+    idxs = [i for i, p in enumerate(est_poses[: len(frames)])
+            if p is not None]
+    psnrs, dssims, psnr_gs, render_ms, rows = [], [], [], [], []
+    # warm the jit outside the timed region
+    if idxs:
+        cam, gt = _inputs(frames[idxs[0]], est_poses[idxs[0]])
+        jax.block_until_ready(
+            fn(trainer.state.anchors, trainer.state.decoders, cam, gt))
+
+    for b0 in range(0, len(idxs), batch):
+        chunk = idxs[b0 : b0 + batch]
+        inputs = [_inputs(frames[i], est_poses[i]) for i in chunk]
+        t0 = time.perf_counter()
+        outs = [fn(trainer.state.anchors, trainer.state.decoders, cam, gt)
+                for cam, gt in inputs]
+        jax.block_until_ready(outs)
+        per_ms = (time.perf_counter() - t0) * 1000.0 / len(chunk)
+        for i, (cam, gt), (img_m, p, s, pg) in zip(chunk, inputs, outs):
+            psnrs.append(float(p))
+            dssims.append(1.0 - float(s))
+            psnr_gs.append(float(pg))
+            render_ms.append(per_ms)
+            rows.append(i)
+            if record_images and i % image_stride == 0:
+                _save_png(img_dir / f"{i:06d}.png", np.asarray(img_m))
+                mask = np.any(np.asarray(gt) != 0.0, axis=0, keepdims=True)
+                _save_png(gt_dir / f"{i:06d}.png", np.asarray(gt) * mask)
+
+    def dump(name, vals, fmt="{} {:.10f}"):
+        with open(out / name, "w") as f:
+            for i, v in zip(rows, vals):
+                f.write(fmt.format(i, v) + "\n")
+
+    dump("psnr.txt", psnrs)
+    dump("dssim.txt", dssims)
+    dump("psnr_gaussian_splatting.txt", psnr_gs)
+    dump("render_time.txt", render_ms)
+    with open(out / "AllCameraTrajectory_TUM.txt", "w") as f:
+        for i in rows:
+            quat, trans = est_poses[i]
+            w_, x_, y_, z_ = np.asarray(quat, np.float64)
+            R = np.array([
+                [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_), 2 * (x_ * z_ + w_ * y_)],
+                [2 * (x_ * y_ + w_ * z_), 1 - 2 * (x_ * x_ + z_ * z_), 2 * (y_ * z_ - w_ * x_)],
+                [2 * (x_ * z_ - w_ * y_), 2 * (y_ * z_ + w_ * x_), 1 - 2 * (x_ * x_ + y_ * y_)],
+            ])
+            c = -R.T @ np.asarray(trans, np.float64)
+            f.write(f"{frames[i].timestamp:.6f} {c[0]:.9f} {c[1]:.9f} "
+                    f"{c[2]:.9f} {x_:.9f} {y_:.9f} {z_:.9f} {w_:.9f}\n")
+
+    return {
+        "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+        "dssim": float(np.mean(dssims)) if dssims else 0.0,
+        "psnr_gs": float(np.mean(psnr_gs)) if psnr_gs else 0.0,
+        "render_fps": 1000.0 / np.mean(render_ms) if render_ms else 0.0,
+        "n_frames": len(rows),
+    }

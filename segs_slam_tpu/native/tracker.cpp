@@ -113,6 +113,7 @@ struct Tracker {
   int loop_closed_at = -1;      // candidate kf id of the latest closure (poll)
   int loop_matches_min = 40;
   int loop_inliers_min = 25;
+  int loop_max_candidates = 60;  // cap on the place-recognition scan
 };
 
 double rotation_angle_deg(const cv::Mat& R) {
@@ -454,12 +455,32 @@ void try_close_loop(Tracker* T, const cv::Mat& K, GlobalKF& cur) {
   if (cur.id - T->last_loop_kf < T->loop_cooldown) return;
   if (cur.desc.empty()) return;
 
-  int best_cand = -1;
-  size_t best_score = 0;
-  std::vector<cv::DMatch> best_matches;
+  // Bound the candidate scan: brute-force descriptor matching against every
+  // past keyframe grows tracking-thread latency linearly with trajectory
+  // length (advisor r2). Evenly subsample the eligible range to at most
+  // loop_max_candidates — a revisit overlaps MANY consecutive registry rows,
+  // so a stride-subsampled scan still lands on one of them.
+  std::vector<int> cands;
   for (const auto& cand : T->gkfs) {
     if (cand.id > cur.id - T->loop_min_gap) break;  // gkfs sorted by id
     if (cand.desc.empty()) continue;
+    cands.push_back(cand.id);
+  }
+  if (static_cast<int>(cands.size()) > T->loop_max_candidates) {
+    std::vector<int> sub;
+    sub.reserve(T->loop_max_candidates);
+    double step =
+        static_cast<double>(cands.size()) / T->loop_max_candidates;
+    for (int i = 0; i < T->loop_max_candidates; ++i)
+      sub.push_back(cands[static_cast<size_t>(i * step)]);
+    cands = std::move(sub);
+  }
+
+  int best_cand = -1;
+  size_t best_score = 0;
+  std::vector<cv::DMatch> best_matches;
+  for (int cid : cands) {
+    const auto& cand = T->gkfs[cid];
     std::vector<cv::DMatch> matches;
     T->matcher->match(cand.desc, cur.desc, matches);
     size_t good = 0;
@@ -1046,8 +1067,10 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
   cv::Mat K = (cv::Mat_<double>(3, 3) << T->fx, 0, T->cx, 0, T->fy, T->cy,
                0, 0, 1);
 
-  // mono registry row: descriptor bag only (no depth-backed world points;
-  // loop closing for mono uses map-point positions instead — see below)
+  // mono registry row: descriptor bag only. With no depth-backed world
+  // points, the PnP-verified loop closing and relocalization paths are
+  // RGB-D-only; mono keyframes populate the registry purely for the
+  // trajectory export APIs.
   auto push_global = [&](int kf_id, const cv::Mat& R, const cv::Mat& t,
                          const std::vector<cv::KeyPoint>& gk,
                          const cv::Mat& gd) {

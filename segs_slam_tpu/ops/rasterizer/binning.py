@@ -161,10 +161,12 @@ def expand_and_sort(
             base_fields, nc, 0, ks, tx, num_tiles
         )
         # the nlarge largest-footprint gaussians get the remaining slots:
-        # one cheap nc-row selection sort (large first, stable) carrying the
-        # fields needed for expansion + the ORIGINAL compact id (gradients
-        # segment-sum by that id)
-        sel_key = (touched <= ks).astype(jnp.int32)
+        # one cheap nc-row selection sort (largest touched first, stable)
+        # carrying the fields needed for expansion + the ORIGINAL compact id
+        # (gradients segment-sum by that id). Key: small gaussians sort above
+        # km+1, large ones by km - touched so the biggest footprints win the
+        # nlarge slots when truncation occurs (advisor r2).
+        sel_key = jnp.where(touched <= ks, km + 1, km - touched)
         sel = lax.sort(
             (sel_key,)
             + tuple(cg.feats)
@@ -205,12 +207,19 @@ def expand_and_sort(
     tile_start = jnp.searchsorted(tile_sorted, tiles, side="left").astype(jnp.int32)
     tile_stop = jnp.searchsorted(tile_sorted, tiles, side="right").astype(jnp.int32)
 
-    num_instances = jnp.sum(jnp.minimum(cg.touched, km))
-    num_large = (
-        jnp.sum((touched > config.ksmall).astype(jnp.int32))
-        if config.ksmall
-        else jnp.int32(0)
-    )
+    if config.ksmall:
+        # actual emitted instances: every gaussian gets min(touched, ksmall)
+        # slots; only the nlarge selected large ones emit their slots beyond
+        # ksmall (advisor r2: the old sum(min(touched, kmax)) overcounted
+        # exactly when truncation occurred).
+        ks = config.ksmall
+        num_instances = jnp.sum(jnp.minimum(touched, ks)) + jnp.sum(
+            jnp.maximum(touched_l - ks, 0)
+        )
+        num_large = jnp.sum((touched > ks).astype(jnp.int32))
+    else:
+        num_instances = jnp.sum(jnp.minimum(cg.touched, km))
+        num_large = jnp.int32(0)
     return BinnedInstances(
         feats_sorted=feats_sorted,
         gid_sorted=gid_sorted,
