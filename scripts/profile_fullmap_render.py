@@ -30,15 +30,20 @@ def main():
     cap = 2**16
     mc = ModelConfig(capacity=cap)
     rng = np.random.default_rng(0)
-    # dense room-like cloud that saturates capacity (like the 30k run)
-    pts = rng.uniform([-4, -3, 0.5], [4, 3, 12], size=(90_000, 3)).astype(np.float32)
-    anchors, n = insert_points(empty_state(mc), pts, mc)
-    print(f"anchors active: {n}/{cap}", flush=True)
-    # make scales/opacities realistic (trained maps have tight scales)
-    anchors = anchors._replace(
-        scaling=anchors.scaling + np.log(0.5),
-        opacity=jnp.full_like(anchors.opacity, 0.0),
+    # build a capacity-saturated state directly (insert_points' chunked KNN
+    # is built for incremental ~3k batches, not a 90k bulk load)
+    st = empty_state(mc)
+    anchors = st._replace(
+        anchor=jnp.asarray(
+            rng.uniform([-4, -3, 0.5], [4, 3, 12], size=(cap, 3)),
+            jnp.float32),
+        offset=jnp.asarray(rng.normal(0, 0.3, (cap, mc.n_offsets, 3)),
+                           jnp.float32),
+        feat=jnp.asarray(rng.normal(0, 0.1, (cap, mc.feat_dim)), jnp.float32),
+        scaling=jnp.full_like(st.scaling, np.log(0.05)),
+        active=jnp.ones(cap, bool),
     )
+    print(f"anchors active: {cap}/{cap}", flush=True)
     decoders = init_decoders(jax.random.PRNGKey(0), mc)
     cam = Camera(camera_id=0, width=width, height=height, fx=500.0, fy=500.0,
                  cx=width / 2, cy=height / 2)

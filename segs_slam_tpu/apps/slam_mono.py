@@ -66,10 +66,19 @@ def run_mono_producer(frames, camera, queue, tracking_times, stop_event,
     fed_frames: list[int] = []
     est_rows = []
 
-    from segs_slam_tpu.slam.producers import tracker_pose_updates
+    from segs_slam_tpu.slam.producers import (
+        ScaleDriftMonitor,
+        tracker_pose_updates,
+    )
 
     def _pose_updates(frame_nos, poses7):
         return tracker_pose_updates(fed_frames, frame_nos, poses7)
+
+    # live mono scale refinement: when the tracker's BA drifts the map scale
+    # relative to what the mapper ingested, emit SCALE_REFINEMENT instead of
+    # letting the map absorb it photometrically (the reference's path is
+    # IMU-only — LocalMapping.cc:1296-1305; this extends it to pure mono)
+    drift = ScaleDriftMonitor()
 
     frame_interval = (1.0 / fps) if fps else 0.0
     for i, fr in enumerate(frames):
@@ -98,6 +107,21 @@ def run_mono_producer(frames, camera, queue, tracking_times, stop_event,
                               keyframes=[kfd])
         _, fnos, poses = tracker.window_poses()
         op.pose_updates = _pose_updates(fnos, poses)
+        # scale-drift check against the FULL trajectory (windowed BA + loop
+        # corrections can rescale history the mapper has already built on)
+        _, tr_fnos, tr_poses = tracker.trajectory()
+        traj_updates = _pose_updates(tr_fnos, tr_poses)
+        hit = drift.check(traj_updates)
+        if hit is not None:
+            s, T = hit
+            sop = MappingOperation(kind=OperationKind.SCALE_REFINEMENT)
+            sop.scale = s
+            sop.transform = T
+            sop.pose_updates = traj_updates
+            queue.push(sop)
+            print(f"[mono] scale refinement at frame {i}: s={s:.4f}",
+                  flush=True)
+        drift.record(i, quat, trans)
         if len(kp):
             # camera-local 3D -> world for the sparse seed cloud
             R = quat_to_R(quat)

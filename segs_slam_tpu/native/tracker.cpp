@@ -49,7 +49,12 @@ struct Obs {
   int kf;           // keyframe id
   cv::Point2f px;   // observed pixel
   double z;         // measured depth (meters); <= 0 → no depth measurement
+  double sig = 1.0; // keypoint localization sigma (1.2^octave px)
 };
+
+static inline double octave_sigma(const cv::KeyPoint& kp) {
+  return std::pow(1.2, std::max(0, kp.octave));
+}
 
 struct MapPoint {
   cv::Mat X;     // 3x1 CV_64F, world
@@ -89,6 +94,11 @@ struct Tracker {
   size_t window = 5;                  // BA keyframe window
 
   cv::Mat R_cur, t_cur;  // world-to-camera of the latest tracked frame
+  // constant-velocity motion model (reference architecture:
+  // ORB-SLAM3/src/Tracking.cc TrackWithMotionModel — predict the pose from
+  // the last inter-frame motion, search matches around the prediction)
+  cv::Mat R_vel, t_vel;  // T_k * T_{k-1}^{-1} (world-to-camera increment)
+  bool have_vel = false;
   int frames_since_kf = 0;
   int frame_counter = 0;  // total track() calls (frame_no source)
 
@@ -439,6 +449,105 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
   }
 }
 
+// Motion-only pose optimization over the PnP-inlier 3D-2D matches:
+// Gauss-Newton on the current pose with Huber-weighted reprojection
+// residuals plus depth residuals from the live depth map (meters →
+// disparity-pixel units), alternating with chi2 re-classification. This is
+// the architectural slot of ORB-SLAM3's Optimizer::PoseOptimization
+// (Tracking.cc calls it after every matching stage; the stereo/depth
+// residual is where most of its per-frame accuracy comes from) — PnP RANSAC
+// + LM on reprojection alone leaves several-cm pose noise that this
+// removes. Updates R,t in place; returns surviving inlier count.
+int pose_only_optimize(const Tracker* T, const std::vector<cv::Point3f>& obj,
+                       const std::vector<cv::Point2f>& scene,
+                       const std::vector<double>& zmeas,
+                       const std::vector<double>& sigma,
+                       std::vector<char>* inlier, cv::Mat* R, cv::Mat* t) {
+  const double fx = T->fx, fy = T->fy, cx = T->cx, cy = T->cy;
+  const double huber = 2.5, huber_z = 4.0;
+  const double chi2_px = 3.0, chi2_z = 6.0;
+  cv::Mat Rw = R->clone(), tw = t->clone();
+  for (int round = 0; round < 3; ++round) {
+    for (int it = 0; it < 6; ++it) {
+      cv::Mat H = cv::Mat::eye(6, 6, CV_64F) * 1e-9;
+      cv::Mat g = cv::Mat::zeros(6, 1, CV_64F);
+      for (size_t i = 0; i < obj.size(); ++i) {
+        if (!(*inlier)[i]) continue;
+        cv::Mat X = (cv::Mat_<double>(3, 1) << obj[i].x, obj[i].y, obj[i].z);
+        cv::Mat Xc = Rw * X + tw;
+        double x = Xc.at<double>(0), y = Xc.at<double>(1),
+               z = Xc.at<double>(2);
+        if (z < 1e-6) continue;
+        cv::Mat r = (cv::Mat_<double>(2, 1) << fx * x / z + cx - scene[i].x,
+                     fy * y / z + cy - scene[i].y);
+        // per-feature information from the ORB pyramid octave: a keypoint
+        // detected at octave o has localization noise ~1.2^o px
+        // (ORB-SLAM3's mvInvLevelSigma2 weighting)
+        const double sig = sigma.empty() ? 1.0 : sigma[i];
+        const double inf = 1.0 / (sig * sig);
+        double e = cv::norm(r) / sig;
+        double wgt = inf * ((e <= huber) ? 1.0 : huber / e);
+        cv::Mat Jpi = (cv::Mat_<double>(2, 3) << fx / z, 0, -fx * x / (z * z),
+                       0, fy / z, -fy * y / (z * z));
+        cv::Mat Jc(2, 6, CV_64F);
+        cv::Mat skew = (cv::Mat_<double>(3, 3) << 0, -z, y, z, 0, -x,
+                        -y, x, 0);
+        cv::Mat Jth = Jpi * (-skew);
+        Jth.copyTo(Jc.colRange(0, 3));
+        Jpi.copyTo(Jc.colRange(3, 6));
+        H += wgt * Jc.t() * Jc;
+        g -= wgt * Jc.t() * r;
+        if (zmeas[i] > 0) {
+          double sz = fx / zmeas[i];
+          double rz = (z - zmeas[i]) * sz;
+          double ez = std::abs(rz) / sig;
+          double wz = inf * ((ez <= huber_z) ? 1.0 : huber_z / ez);
+          cv::Mat Jzc(1, 6, CV_64F);
+          Jzc.at<double>(0, 0) = sz * y;
+          Jzc.at<double>(0, 1) = sz * -x;
+          Jzc.at<double>(0, 2) = 0.0;
+          Jzc.at<double>(0, 3) = 0.0;
+          Jzc.at<double>(0, 4) = 0.0;
+          Jzc.at<double>(0, 5) = sz;
+          H += wz * Jzc.t() * Jzc;
+          g -= wz * Jzc.t() * rz;
+        }
+      }
+      cv::Mat d;
+      if (!cv::solve(H, g, d, cv::DECOMP_CHOLESKY)) break;
+      cv::Mat dRm;
+      cv::Rodrigues(d.rowRange(0, 3), dRm);
+      Rw = dRm * Rw;
+      tw = dRm * tw + d.rowRange(3, 6);
+      if (cv::norm(d) < 1e-8) break;
+    }
+    // chi2 re-classification (outliers can re-enter on later rounds)
+    for (size_t i = 0; i < obj.size(); ++i) {
+      cv::Mat X = (cv::Mat_<double>(3, 1) << obj[i].x, obj[i].y, obj[i].z);
+      cv::Mat Xc = Rw * X + tw;
+      double z = Xc.at<double>(2);
+      if (z < 1e-6) {
+        (*inlier)[i] = 0;
+        continue;
+      }
+      double u = fx * Xc.at<double>(0) / z + cx;
+      double v = fy * Xc.at<double>(1) / z + cy;
+      const double sig = sigma.empty() ? 1.0 : sigma[i];
+      bool ok = std::hypot(u - scene[i].x, v - scene[i].y) <= chi2_px * sig;
+      if (ok && zmeas[i] > 0)
+        ok = std::abs(z - zmeas[i]) * fx / zmeas[i] <= chi2_z * sig;
+      (*inlier)[i] = ok ? 1 : 0;
+    }
+  }
+  int n = 0;
+  for (char c : *inlier) n += c;
+  if (n >= 10) {  // keep the PnP pose on degenerate collapse
+    *R = Rw;
+    *t = tw;
+  }
+  return n;
+}
+
 // --- loop closing ---------------------------------------------------------
 //
 // Place recognition: descriptor-set matching between the new keyframe's
@@ -770,7 +879,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
         auto& mp = T->mpts[(*inlier_mp)[k]];
         double zm = sample_depth(depth, w, h, kps[row].pt.x, kps[row].pt.y,
                                  T->min_depth, T->max_depth);
-        mp.obs.push_back({kf_id, kps[row].pt, zm});
+        mp.obs.push_back({kf_id, kps[row].pt, zm, octave_sigma(kps[row])});
         mp.desc = desc.row(row).clone();
         mp.last_kf = kf_id;
         mp.last_seen_frame = frame_no;
@@ -786,7 +895,8 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
       MapPoint mp;
       mp.X = C2W_R * pc + cam_center;
       mp.desc = desc.row(static_cast<int>(i)).clone();
-      mp.obs.push_back({kf_id, kps[i].pt, static_cast<double>(z)});
+      mp.obs.push_back(
+          {kf_id, kps[i].pt, static_cast<double>(z), octave_sigma(kps[i])});
       mp.last_kf = kf_id;
       mp.last_seen_frame = frame_no;
       T->mpts.push_back(std::move(mp));
@@ -842,6 +952,14 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     return 1;
   }
 
+  // constant-velocity prediction: project map points and seed PnP from the
+  // extrapolated pose, not the last pose (Tracking.cc TrackWithMotionModel)
+  cv::Mat R_prior = T->R_cur.clone(), t_prior = T->t_cur.clone();
+  if (T->have_vel) {
+    R_prior = T->R_vel * T->R_cur;
+    t_prior = T->R_vel * T->t_cur + T->t_vel;
+  }
+
   // Local map: descriptors/world points of recently-seen alive map points.
   std::vector<int> active;
   for (size_t i = 0; i < T->mpts.size(); ++i)
@@ -852,6 +970,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
             T->mpts.size(), active.size(), kps.size());
   if (active.size() < 12 || desc.empty()) {
     *n_inliers_out = 0;
+    T->have_vel = false;
     if (try_relocalize(T, K, kps, desc, frame_no)) {
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return 0;
@@ -886,7 +1005,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     const int creach = static_cast<int>(radius) / cell + 1;
     for (int mi : active) {
       const auto& mp = T->mpts[mi];
-      cv::Mat Xc = T->R_cur * mp.X + T->t_cur;
+      cv::Mat Xc = R_prior * mp.X + t_prior;
       double z = Xc.at<double>(2);
       if (z < 1e-3) continue;
       float u = static_cast<float>(T->fx * Xc.at<double>(0) / z + T->cx);
@@ -925,6 +1044,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   if (obj.size() < 40) guided_match(56.0, 64);  // wider: recover after jitter
   if (obj.size() < 12) {
     *n_inliers_out = 0;
+    T->have_vel = false;
     if (try_relocalize(T, K, kps, desc, frame_no)) {
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return 0;
@@ -937,8 +1057,8 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   // near-planar (edge corners rejected leave wall-interior points), which
   // destabilizes unguided EPnP; the prior-seeded iterative solver is immune.
   cv::Mat rvec, tvec;
-  cv::Rodrigues(T->R_cur, rvec);
-  tvec = T->t_cur.clone();
+  cv::Rodrigues(R_prior, rvec);
+  tvec = t_prior.clone();
   std::vector<int> inliers;
   bool ok = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rvec, tvec, true,
                                200, 5.0, 0.995, inliers,
@@ -960,6 +1080,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
             frame_no, obj.size(), (int)ok, inliers.size());
   if (!ok || inliers.size() < 10) {
     *n_inliers_out = static_cast<int>(inliers.size());
+    T->have_vel = false;
     if (try_relocalize(T, K, kps, desc, frame_no)) {
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return 0;
@@ -967,20 +1088,35 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     write_pose7(T->R_cur, T->t_cur, pose_out);
     return -1;
   }
-  {
-    std::vector<cv::Point3f> obj_in;
-    std::vector<cv::Point2f> scene_in;
-    obj_in.reserve(inliers.size());
-    scene_in.reserve(inliers.size());
-    for (int idx : inliers) {
-      obj_in.push_back(obj[idx]);
-      scene_in.push_back(scene[idx]);
-    }
-    cv::solvePnPRefineLM(obj_in, scene_in, K, cv::Mat(), rvec, tvec);
-  }
   cv::Mat R;
   cv::Rodrigues(rvec, R);  // world -> camera (points were world-frame)
   cv::Mat t = tvec;
+  // tracking health = RANSAC consensus (the chi2-strict set below is for
+  // pose accuracy/observations; using it for the keyframe ratio spams KFs)
+  const size_t ransac_consensus = inliers.size();
+  {
+    // motion-only refinement with depth residuals over ALL guided matches
+    // (RANSAC classifies the start set; chi2 rounds let borderline matches
+    // re-enter, like ORB-SLAM3's 4-round PoseOptimization)
+    std::vector<char> inl(obj.size(), 0);
+    for (int idx : inliers) inl[idx] = 1;
+    std::vector<double> zmeas(obj.size(), -1.0);
+    std::vector<double> sigma(obj.size(), 1.0);
+    for (size_t i = 0; i < obj.size(); ++i) {
+      zmeas[i] = sample_depth(depth, w, h, scene[i].x, scene[i].y,
+                              T->min_depth, T->max_depth);
+      sigma[i] = std::pow(1.2, std::max(0, kps[match_row[i]].octave));
+    }
+    int n = pose_only_optimize(T, obj, scene, zmeas, sigma, &inl, &R, &t);
+    if (getenv("SG_TRACKER_DEBUG"))
+      fprintf(stderr, "[rgbd] f=%d pose_only survivors=%d (from %zu)\n",
+              frame_no, n, inliers.size());
+    if (n >= 10) {
+      inliers.clear();
+      for (size_t i = 0; i < inl.size(); ++i)
+        if (inl[i]) inliers.push_back(static_cast<int>(i));
+    }
+  }
   {  // pose-jump gate (RANSAC snapped to a wrong consensus set)
     cv::Mat c_new = -R.t() * t;
     cv::Mat c_old = -T->R_cur.t() * T->t_cur;
@@ -992,6 +1128,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
       // problem — retire it so only the registry (relocalize) remains.
       T->reject_streak++;
       *n_inliers_out = static_cast<int>(inliers.size());
+      T->have_vel = false;
       if (T->reject_streak >= 3 &&
           try_relocalize(T, K, kps, desc, frame_no)) {
         T->reject_streak = 0;
@@ -1006,6 +1143,11 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     }
     T->reject_streak = 0;
   }
+  // update the constant-velocity model from the accepted frame-to-frame
+  // motion (Tracking.cc: mVelocity = mCurrentFrame.GetPose() * LastTwc)
+  T->R_vel = R * T->R_cur.t();
+  T->t_vel = t - T->R_vel * T->t_cur;
+  T->have_vel = true;
   T->R_cur = R;
   T->t_cur = t;
   T->frames_since_kf++;
@@ -1024,12 +1166,12 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   cv::Mat last_center = -last.R.t() * last.t;
   double trans = cv::norm(cam_center - last_center);
   double rot = rotation_angle_deg(dR);
-  double match_ratio = static_cast<double>(inliers.size()) /
+  double match_ratio = static_cast<double>(ransac_consensus) /
                        std::max<size_t>(1, obj.size());
-  bool interval_due = T->frames_since_kf >= 5 && inliers.size() < 120;
+  bool interval_due = T->frames_since_kf >= 5 && ransac_consensus < 120;
   if ((trans > T->kf_min_translation || rot > T->kf_min_rotation_deg ||
        match_ratio < T->kf_min_match_ratio || interval_due) &&
-      inliers.size() >= 25) {  // low-confidence poses never become keyframes
+      ransac_consensus >= 25) {  // low-confidence poses never become KFs
     std::vector<int> inl_mp, inl_row;
     for (int idx : inliers) {
       inl_mp.push_back(match_mp[idx]);
@@ -1247,7 +1389,17 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
   std::vector<int> active;  // indices into T->mpts
   for (size_t i = 0; i < T->mpts.size(); ++i)
     if (!T->mpts[i].dead) active.push_back(static_cast<int>(i));
-  if (active.size() < 12 || desc.empty()) return -1;
+  if (active.size() < 12 || desc.empty()) {
+    T->have_vel = false;
+    return -1;
+  }
+
+  // constant-velocity prediction (Tracking.cc TrackWithMotionModel)
+  cv::Mat R_prior = T->R_cur.clone(), t_prior = T->t_cur.clone();
+  if (T->have_vel) {
+    R_prior = T->R_vel * T->R_cur;
+    t_prior = T->R_vel * T->t_cur + T->t_vel;
+  }
 
   std::vector<cv::Point3f> obj;
   std::vector<cv::Point2f> scene;
@@ -1259,7 +1411,7 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     match_row.clear();
     for (int mi : active) {
       const auto& mp = T->mpts[mi];
-      cv::Mat Xc = T->R_cur * mp.X + T->t_cur;
+      cv::Mat Xc = R_prior * mp.X + t_prior;
       double z = Xc.at<double>(2);
       if (z < 1e-3) continue;
       float u = static_cast<float>(T->fx * Xc.at<double>(0) / z + T->cx);
@@ -1293,12 +1445,15 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
   if (getenv("SG_TRACKER_DEBUG"))
     fprintf(stderr, "[mono] map=%zu guided-matches=%zu\n", active.size(),
             obj.size());
-  if (obj.size() < 12) return -1;
+  if (obj.size() < 12) {
+    T->have_vel = false;
+    return -1;
+  }
 
   // motion-prior-guided PnP with unguided EPnP fallback
   cv::Mat rvec, tvec;
-  cv::Rodrigues(T->R_cur, rvec);
-  tvec = T->t_cur.clone();
+  cv::Rodrigues(R_prior, rvec);
+  tvec = t_prior.clone();
   std::vector<int> inliers;
   bool ok = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rvec, tvec, true,
                                200, 5.0, 0.995, inliers,
@@ -1319,20 +1474,27 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     fprintf(stderr, "[mono] pnp ok=%d inliers=%zu\n", (int)ok, inliers.size());
   if (!ok || inliers.size() < 10) {
     *n_inliers_out = static_cast<int>(inliers.size());
+    T->have_vel = false;
     return -1;
-  }
-  {
-    std::vector<cv::Point3f> obj_in;
-    std::vector<cv::Point2f> scene_in;
-    for (int idx : inliers) {
-      obj_in.push_back(obj[idx]);
-      scene_in.push_back(scene[idx]);
-    }
-    cv::solvePnPRefineLM(obj_in, scene_in, K, cv::Mat(), rvec, tvec);
   }
   cv::Mat R;
   cv::Rodrigues(rvec, R);
   cv::Mat t = tvec;
+  {
+    // motion-only refinement with chi2 re-classification (no depth in mono)
+    std::vector<char> inl(obj.size(), 0);
+    for (int idx : inliers) inl[idx] = 1;
+    std::vector<double> zmeas(obj.size(), -1.0);
+    std::vector<double> sigma(obj.size(), 1.0);
+    for (size_t i = 0; i < obj.size(); ++i)
+      sigma[i] = std::pow(1.2, std::max(0, kps[match_row[i]].octave));
+    int n = pose_only_optimize(T, obj, scene, zmeas, sigma, &inl, &R, &t);
+    if (n >= 10) {
+      inliers.clear();
+      for (size_t i = 0; i < inl.size(); ++i)
+        if (inl[i]) inliers.push_back(static_cast<int>(i));
+    }
+  }
   {  // pose-jump gate (RANSAC snapped to a wrong consensus set)
     cv::Mat c_new = -R.t() * t;
     cv::Mat c_old = -T->R_cur.t() * T->t_cur;
@@ -1344,10 +1506,16 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
         T->reject_streak < 10) {
       T->reject_streak++;
       *n_inliers_out = static_cast<int>(inliers.size());
+      T->have_vel = false;
       return -1;
     }
     T->reject_streak = 0;
   }
+  // update the constant-velocity model from the accepted frame-to-frame
+  // motion (Tracking.cc: mVelocity = mCurrentFrame.GetPose() * LastTwc)
+  T->R_vel = R * T->R_cur.t();
+  T->t_vel = t - T->R_vel * T->t_cur;
+  T->have_vel = true;
   T->R_cur = R;
   T->t_cur = t;
   T->frames_since_kf++;
@@ -1378,7 +1546,7 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     if (used[row]) continue;
     used[row] = true;
     auto& mp = T->mpts[mp_i];
-    mp.obs.push_back({kf_id, kps[row].pt, 0.0});
+    mp.obs.push_back({kf_id, kps[row].pt, 0.0, octave_sigma(kps[row])});
     mp.desc = desc.row(row).clone();
     mp.last_kf = kf_id;
   }
@@ -1405,7 +1573,8 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
       mp.X = Xm.clone();
       mp.desc = desc.row(tri_rows[i]).clone();
       mp.obs.push_back({ref->id, tri_px_prev[i], 0.0});
-      mp.obs.push_back({kf_id, kps[tri_rows[i]].pt, 0.0});
+      mp.obs.push_back(
+          {kf_id, kps[tri_rows[i]].pt, 0.0, octave_sigma(kps[tri_rows[i]])});
       mp.last_kf = kf_id;
       mp.last_seen_frame = frame_no;
       T->mpts.push_back(std::move(mp));

@@ -167,6 +167,93 @@ class SyntheticOracleProducer(DatasetOracleProducer):
         return t
 
 
+def fit_similarity(src: np.ndarray, dst: np.ndarray):
+    """Umeyama similarity fit dst ~= s R src + t.
+
+    Returns (s, T) with T a 4x4 rigid transform (R, t). Standard closed-form
+    (the same alignment eval/metrics uses for scale-corrected mono ATE)."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    mu_s, mu_d = src.mean(axis=0), dst.mean(axis=0)
+    xs, xd = src - mu_s, dst - mu_d
+    cov = xd.T @ xs / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    var_s = (xs**2).sum() / len(src)
+    s = float(np.trace(np.diag(D) @ S) / max(var_s, 1e-12))
+    t = mu_d - s * R @ mu_s
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return s, T
+
+
+class ScaleDriftMonitor:
+    """Detects monocular map-scale drift and produces SCALE_REFINEMENT ops.
+
+    The reference only emits ScaleRefinement from IMU (LocalMapping.cc:
+    1296-1305); a pure-mono tracker still drifts in scale, which the mapper
+    otherwise absorbs photometrically (VERDICT r2 weak #7). This monitor
+    records the camera centers the producer forwarded per keyframe; when the
+    tracker's CURRENT centers for those keyframes fit a similarity with
+    |log s| > tol against the recorded ones, it returns (s, T) so the
+    producer can emit the op the mapper already handles
+    (Mapper._apply_operation SCALE_REFINEMENT -> Trainer.apply_similarity).
+    """
+
+    def __init__(self, tol_log_scale: float = 0.02, min_kfs: int = 6):
+        self.tol = tol_log_scale
+        self.min_kfs = min_kfs
+        self._sent: dict[int, np.ndarray] = {}  # frame id -> center at send
+
+    @staticmethod
+    def _center(quat, trans):
+        w, x, y, z = quat
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        return -R.T @ np.asarray(trans, np.float64)
+
+    def record(self, frame_id: int, quat, trans) -> None:
+        self._sent[frame_id] = self._center(quat, trans)
+
+    def check(self, pose_updates: dict):
+        """pose_updates: {frame_id: (quat, trans)} current tracker poses.
+        Returns (s, T) on drift, else None. On detection the recorded
+        centers are refreshed (the map is about to be corrected)."""
+        common = [k for k in pose_updates if k in self._sent]
+        if len(common) < self.min_kfs:
+            return None
+        src = np.stack([self._sent[k] for k in common])
+        dst = np.stack([self._center(*pose_updates[k]) for k in common])
+        if np.ptp(src, axis=0).max() < 1e-6:
+            return None  # degenerate (no baseline)
+        s, T = fit_similarity(src, dst)
+        if not np.isfinite(s) or abs(np.log(max(s, 1e-12))) <= self.tol:
+            return None
+        # fit-quality gate: only a COHERENT similarity change (windowed BA /
+        # loop correction rescaling history) should correct the map; a
+        # tracking reset produces an incoherent trajectory change whose fit
+        # residual is large relative to the new trajectory's extent — feeding
+        # that into apply_similarity would corrupt the map (observed: a mono
+        # re-bootstrap fit s=34 on synth_room)
+        if abs(np.log(max(s, 1e-12))) > 1.2:
+            return None  # >3x jump: that's a reset, never BA drift
+        res = dst - (s * (T[:3, :3] @ src.T).T + T[:3, 3])
+        rms = float(np.sqrt((res**2).sum(axis=1).mean()))
+        extent = float(np.ptp(dst, axis=0).max())
+        if extent < 1e-9 or rms > 0.12 * extent:
+            return None
+        for k in pose_updates:
+            self._sent[k] = self._center(*pose_updates[k])
+        return s, T
+
+
 def tracker_pose_updates(fed_frames, frame_nos, poses7):
     """Map native-tracker frame ordinals to dataset frame ids (the mapper's
     keyframe ids) and convert pose7 rows (tx ty tz qw qx qy qz) to the
