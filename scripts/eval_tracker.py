@@ -47,6 +47,8 @@ def main():
     p.add_argument("--cx", type=float, default=320.0)
     p.add_argument("--cy", type=float, default=240.0)
     p.add_argument("--depth-scale", type=float, default=6553.5)
+    p.add_argument("--per-frame", action="store_true",
+                   help="print the per-frame error profile (drift vs noise)")
     args = p.parse_args()
 
     assert native_available()
@@ -101,6 +103,15 @@ def main():
           f"{' (scale-corrected)' if args.mono else ''}")
     print(f"ATE final trajectory ({len(ids)} kfs): "
           f"{ate_final['ate_rmse']:.4f} m")
+
+    if args.per_frame:
+        # error structure: drift (growing) vs noise (flat) vs spikes
+        err = np.linalg.norm(ate_online["aligned_est"] - gt, axis=1)
+        k = max(1, len(err) // 20)
+        for s in range(0, len(err), k):
+            seg = err[s:s + k]
+            print(f"  frames {s:4d}-{s + len(seg) - 1:4d}: "
+                  f"mean {seg.mean():.4f}  max {seg.max():.4f}")
 
 
 if __name__ == "__main__":

@@ -67,7 +67,7 @@ def main(argv=None):
     from segs_slam_tpu.models.anchors import empty_state
     from segs_slam_tpu.models.config import ModelConfig
     from segs_slam_tpu.models.decoders import init_decoders
-    from segs_slam_tpu.models.renderer import render
+    from segs_slam_tpu.models.renderer import ChainedEvalRenderer
     from segs_slam_tpu.ops.rasterizer import RasterConfig
     from segs_slam_tpu.train.step import init_train_state
 
@@ -88,10 +88,10 @@ def main(argv=None):
     active = np.asarray(ts.anchors.active)
     center = anchors_np[active].mean(axis=0)
 
-    @jax.jit
+    chain = ChainedEvalRenderer(mc, rc, w, h, jnp.zeros(3))
+
     def _render(cam_in):
-        return render(ts.anchors, ts.decoders, cam_in, w, h, jnp.zeros(3),
-                      mc, rc).image
+        return chain(ts.anchors, ts.decoders, cam_in)
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

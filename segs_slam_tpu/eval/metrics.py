@@ -56,6 +56,7 @@ def ate_rmse(
         "ate_mean": float(err.mean()),
         "ate_median": float(np.median(err)),
         "scale": s,
+        "aligned_est": aligned,
     }
 
 

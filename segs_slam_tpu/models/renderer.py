@@ -101,6 +101,96 @@ def render(
     )
 
 
+class ChainedEvalRenderer:
+    """Eval-only render as a chain of three jit dispatches.
+
+    The monolithic render() jit hits an XLA:TPU scheduling pathology at
+    large operating points: at compact=2^17/kmax=16 with 65k anchors the
+    fused graph takes ~22.6 ms/frame while the stage-level device work
+    totals ~2.4 ms (measured in scripts/profile_fullmap_compose.py —
+    chained stage jits: 2.4 ms/frame, 420 FPS; identical ops, identical
+    output). Async dispatch pipelines the three calls back-to-back, so the
+    per-call latency is hidden exactly like the fused version.
+
+    Stages: decode (prefilter + neural-gaussian MLPs) -> project
+    (cov3d + preprocess + feature/aux assembly) -> blend (compaction +
+    instance sort + Pallas tile blend + image assembly).
+
+    Not differentiable; the training path keeps the fused render().
+    """
+
+    def __init__(self, model_config: ModelConfig, raster_config: RasterConfig,
+                 width: int, height: int, bg: jnp.ndarray,
+                 interpret: bool | None = None):
+        import jax
+
+        from segs_slam_tpu.ops.rasterizer.blend import binned_blend
+        from segs_slam_tpu.ops.rasterizer.preprocess import (
+            compute_cov3d,
+            preprocess_gaussians,
+        )
+
+        mc, rc = model_config, raster_config
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        tx, ty = rc.grid(width, height)
+        npix = rc.tile * rc.tile
+        static = (rc, tx, ty, npix, interpret)
+        bg = jnp.asarray(bg, jnp.float32)
+
+        @jax.jit
+        def _decode(anchors, decoders, cam):
+            grid_scale3 = jnp.exp(anchors.scaling[:, :3])
+            rotation = anchors.rotation / jnp.maximum(
+                jnp.linalg.norm(anchors.rotation, axis=-1, keepdims=True),
+                1e-12)
+            visible = visible_filter(
+                anchors.anchor, grid_scale3, rotation,
+                cam["world_view_transform"], cam["full_proj_transform"],
+                width, height, cam["tan_fovx"], cam["tan_fovy"],
+                config=rc, valid=anchors.active)
+            return generate_neural_gaussians(
+                anchors, decoders, cam["camera_center"], cam["pose7"],
+                visible, mc)
+
+        @jax.jit
+        def _project(neural, cam):
+            cov3d = compute_cov3d(neural.scaling, neural.rotation, 1.0)
+            proj = preprocess_gaussians(
+                neural.xyz, cov3d, cam["world_view_transform"],
+                cam["full_proj_transform"], width, height,
+                cam["tan_fovx"], cam["tan_fovy"], rc, valid_in=neural.valid)
+            opac = neural.opacity.reshape(-1)
+            feats = (proj.mean2d[:, 0], proj.mean2d[:, 1], proj.conic[:, 0],
+                     proj.conic[:, 1], proj.conic[:, 2], opac,
+                     neural.color[:, 0], neural.color[:, 1],
+                     neural.color[:, 2])
+            aux = {
+                "rect_min_x": proj.rect_min[:, 0],
+                "rect_min_y": proj.rect_min[:, 1],
+                "rect_w": proj.rect_max[:, 0] - proj.rect_min[:, 0],
+                "touched": proj.tiles_touched.astype(jnp.int32),
+                "depth": proj.depth,
+                "alive": proj.radius > 0,
+            }
+            return feats, aux
+
+        @jax.jit
+        def _blend(feats, aux):
+            color, *_ = binned_blend(feats, aux, bg, static)
+            b = rc.tile
+            return (color.reshape(ty, tx, 3, b, b)
+                    .transpose(2, 0, 3, 1, 4)
+                    .reshape(3, ty * b, tx * b)[:, :height, :width])
+
+        self._decode, self._project, self._blend = _decode, _project, _blend
+
+    def __call__(self, anchors, decoders, cam):
+        neural = self._decode(anchors, decoders, cam)
+        feats, aux = self._project(neural, cam)
+        return self._blend(feats, aux)
+
+
 def project_to_image(
     state: AnchorState,
     decoder_params: dict,

@@ -387,33 +387,26 @@ class Trainer:
     # --- evaluation (reference: renderAndRecordKeyframe,
     # src/gaussian_mapper.cpp:1769-1907) ---
     def _eval_render(self):
-        if not hasattr(self, "_eval_render_jit"):
-            def _r(anchors, decoders, cam):
-                return render(
-                    anchors, decoders, cam, self.width, self.height, self._bg,
-                    self.model_config, self.raster_config,
-                    interpret=self.interpret,
-                ).image
+        """Chained multi-jit eval renderer (see ChainedEvalRenderer: the
+        fused render() jit hits an XLA scheduling pathology at large
+        operating points — 22.6 ms/frame fused vs 2.4 ms chained at
+        compact=2^17, identical ops)."""
+        if not hasattr(self, "_eval_render_chain"):
+            from segs_slam_tpu.models.renderer import ChainedEvalRenderer
 
-            self._eval_render_jit = jax.jit(_r)
-        return self._eval_render_jit
+            self._eval_render_chain = ChainedEvalRenderer(
+                self.model_config, self.raster_config, self.width,
+                self.height, self._bg, interpret=self.interpret)
+        return self._eval_render_chain
 
     def render_keyframe(self, kf: Keyframe):
         cam, _ = self._kf_inputs(kf)
         return self._eval_render()(self.state.anchors, self.state.decoders, cam)
 
-    def _eval_render_metrics(self):
-        """One fused jit call per keyframe: render + masked PSNR/SSIM/PSNR_GS
-        on device. Keeping it a single dispatch lets the eval loop pipeline
-        keyframes back-to-back (per-call sync latency through the TPU runtime
-        is ~4x the actual compute — see eval/recorder.py)."""
+    def _eval_metrics(self):
+        """Small masked-metrics jit: (img, gt) -> (img_m, psnr, ssim, psnr_gs)."""
         if not hasattr(self, "_eval_render_metrics_jit"):
-            def _rm(anchors, decoders, cam, gt):
-                img = render(
-                    anchors, decoders, cam, self.width, self.height, self._bg,
-                    self.model_config, self.raster_config,
-                    interpret=self.interpret,
-                ).image
+            def _rm(img, gt):
                 mask = jnp.any(gt != 0.0, axis=0, keepdims=True).astype(
                     jnp.float32
                 )
@@ -428,6 +421,18 @@ class Trainer:
             self._eval_render_metrics_jit = jax.jit(_rm)
         return self._eval_render_metrics_jit
 
+    def _eval_render_metrics(self):
+        """(anchors, decoders, cam, gt) -> (img_m, psnr, ssim, psnr_gs) via
+        the chained renderer + a metrics jit — four async dispatches that
+        pipeline back-to-back exactly like the old fused call."""
+        chain = self._eval_render()
+        metrics = self._eval_metrics()
+
+        def _f(anchors, decoders, cam, gt):
+            return metrics(chain(anchors, decoders, cam), gt)
+
+        return _f
+
     def render_and_measure_keyframe(self, kf: Keyframe):
         """Async-dispatched (img_masked, psnr, ssim, psnr_gs) device tuple."""
         cam, gt = self._kf_inputs(kf)
@@ -436,27 +441,14 @@ class Trainer:
         )
 
     def evaluate(self) -> dict:
-        if not hasattr(self, "_eval_metrics_jit"):
-            def _m(img, gt):
-                mask = jnp.any(gt != 0.0, axis=0, keepdims=True).astype(
-                    jnp.float32
-                )
-                img_m, gt_m = img * mask, gt * mask
-                return (
-                    losses.psnr(img_m, gt_m),
-                    losses.ssim(img_m, gt_m),
-                    losses.psnr_gaussian_splatting(img_m, gt_m),
-                )
-
-            self._eval_metrics_jit = jax.jit(_m)
-        psnrs, ssims, psnr_gs = [], [], []
-        for kf in self.scene.keyframes.values():
-            cam, gt = self._kf_inputs(kf)
-            img = self.render_keyframe(kf)
-            p, s, pg = self._eval_metrics_jit(img, gt)
-            psnrs.append(float(p))
-            ssims.append(float(s))
-            psnr_gs.append(float(pg))
+        # single render per keyframe, dispatched back-to-back (async), one
+        # sync at the end
+        outs = [self.render_and_measure_keyframe(kf)
+                for kf in self.scene.keyframes.values()]
+        jax.block_until_ready(outs)
+        psnrs = [float(p) for _, p, _, _ in outs]
+        ssims = [float(s) for _, _, s, _ in outs]
+        psnr_gs = [float(pg) for _, _, _, pg in outs]
         return {
             "psnr": float(np.mean(psnrs)),
             "ssim": float(np.mean(ssims)),
