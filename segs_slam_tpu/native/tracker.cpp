@@ -104,6 +104,8 @@ struct Tracker {
 
   // unified map state
   std::vector<MapPoint> mpts;
+  std::vector<MapPoint> arch;   // retired points kept for global BA (capped)
+  size_t arch_max = 60000;
   std::deque<WinKF> wkfs;       // BA window
   std::vector<GlobalKF> gkfs;   // full keyframe registry
   int next_kf_id = 0;
@@ -124,6 +126,18 @@ struct Tracker {
   int loop_matches_min = 40;
   int loop_inliers_min = 25;
   int loop_max_candidates = 60;  // cap on the place-recognition scan
+
+  // global bundle adjustment (reference: ORB-SLAM3
+  // Optimizer::GlobalBundleAdjustemnt, run after every accepted loop
+  // closure). Runs ONLY after loop closures by default: cadence GBA on a
+  // drift-only trajectory has no long-range constraints to exploit — the
+  // drifted solution is locally self-consistent, so relaxing it just
+  // perturbs the trajectory (measured +37% ATE on synth_room). Loop
+  // closures add fused anchor observations bridging the loop, which is
+  // what makes the solve informative.
+  int gba_every = 0;            // >0: also run on a keyframe cadence
+  int gba_max_kfs = 150;        // skip GBA beyond this many registry rows
+  int kfs_since_gba = 0;
 };
 
 double rotation_angle_deg(const cv::Mat& R) {
@@ -265,25 +279,56 @@ void triangulate_new_points_mono(const cv::Mat& K, const WinKF& last,
   }
 }
 
-// Local bundle adjustment over the keyframe window: Gauss-Newton with point
+// Move stale map points out of the live set. Points unseen for
+// `stale_after` frames stop being PnP/matching candidates, but those with
+// >= 2 keyframe observations are ARCHIVED (observations capped to the first
+// 4, anchoring the birth geometry, + last 12 recent views) so the periodic
+// global BA keeps their multi-view constraints on retired keyframes.
+// local_ba is unaffected: it filters observations to the live window.
+void retire_stale_points(Tracker* T, int frame_no, int stale_after) {
+  std::vector<MapPoint> kept;
+  kept.reserve(T->mpts.size());
+  for (auto& mp : T->mpts) {
+    if (mp.dead) continue;
+    if (mp.obs.size() > 16)
+      mp.obs.erase(mp.obs.begin() + 4, mp.obs.end() - 12);
+    if (frame_no - mp.last_seen_frame > stale_after) {
+      if (mp.obs.size() >= 2) T->arch.push_back(std::move(mp));
+      continue;
+    }
+    kept.push_back(std::move(mp));
+  }
+  T->mpts = std::move(kept);
+  if (T->arch.size() > T->arch_max)  // drop the oldest retirees
+    T->arch.erase(T->arch.begin(),
+                  T->arch.begin() + (T->arch.size() - T->arch_max / 2));
+}
+
+// Camera slot for the generic Schur BA: `id` is the keyframe id, R/t point
+// at the pose storage being optimized (window deque or global registry).
+struct CamRef {
+  int id;
+  cv::Mat* R;
+  cv::Mat* t;
+};
+
+// Bundle adjustment over an arbitrary camera set: Gauss-Newton with point
 // marginalization (Schur complement) and Huber-weighted reprojection
-// residuals. `nfix` oldest window poses are held fixed as the gauge: mono
-// fixes TWO (freezing two poses pins both the similarity frame and the
-// scale, which a single-fixed-pose mono BA leaves free to collapse); RGB-D
-// fixes ONE because observations with measured depth contribute depth
-// residuals r_z = (z_pred - z_meas) * fx / z_meas (disparity-pixel units,
-// commensurate with the 2-px reprojection residuals) that pin scale. The
-// dense Schur system is at most 6*(window-1) = 24x24 — trivially solvable;
-// the cost per iteration is linear in the observation count.
-void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
-  const int nc = static_cast<int>(T->wkfs.size());
+// residuals. `nfix` first poses are held fixed as the gauge: mono fixes TWO
+// (freezing two poses pins both the similarity frame and the scale, which a
+// single-fixed-pose mono BA leaves free to collapse); RGB-D fixes ONE
+// because observations with measured depth contribute depth residuals
+// r_z = (z_pred - z_meas) * fx / z_meas (disparity-pixel units,
+// commensurate with the 2-px reprojection residuals) that pin scale.
+// Observations whose keyframe is not in `cams` are skipped, so the same
+// solver serves the 5-kf local window (S at most 24x24) and the full-registry
+// global BA (S up to 6*(gba_max_kfs-1), still a trivial dense Cholesky).
+void schur_ba(Tracker* T, const cv::Mat& K, std::vector<CamRef>& cams,
+              int nfix, int iters, const std::vector<MapPoint*>& pts,
+              bool prune, bool use_lm = false) {
+  const int nc = static_cast<int>(cams.size());
   const int nfree = nc - nfix;
-  if (nfree < 1) return;
-  std::vector<int> pts;
-  for (size_t j = 0; j < T->mpts.size(); ++j)
-    if (!T->mpts[j].dead && T->mpts[j].obs.size() >= 2)
-      pts.push_back(static_cast<int>(j));
-  if (pts.empty()) return;
+  if (nfree < 1 || pts.empty()) return;
 
   const double fx = K.at<double>(0, 0), fy = K.at<double>(1, 1);
   const double cx = K.at<double>(0, 2), cy = K.at<double>(1, 2);
@@ -291,17 +336,16 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
   const double huber_z = 4.0;  // disparity-pixel units
 
   std::vector<int> id2ci(T->next_kf_id, -1);
-  for (int i = 0; i < nc; ++i) id2ci[T->wkfs[i].id] = i;
+  for (int i = 0; i < nc; ++i) id2ci[cams[i].id] = i;
 
   auto mean_err = [&]() {
     double sum = 0;
     int n = 0;
-    for (int j : pts) {
-      for (const auto& o : T->mpts[j].obs) {
+    for (const MapPoint* p : pts) {
+      for (const auto& o : p->obs) {
         int ci = (o.kf < static_cast<int>(id2ci.size())) ? id2ci[o.kf] : -1;
         if (ci < 0) continue;
-        const WinKF& kf = T->wkfs[ci];
-        cv::Mat Xc = kf.R * T->mpts[j].X + kf.t;
+        cv::Mat Xc = *cams[ci].R * p->X + *cams[ci].t;
         double z = Xc.at<double>(2);
         if (z < 1e-6) continue;
         sum += std::hypot(fx * Xc.at<double>(0) / z + cx - o.px.x,
@@ -313,9 +357,43 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
   };
   double err0 = getenv("SG_TRACKER_DEBUG") ? mean_err() : 0.0;
 
+  // Huber-robustified total cost, for LM step acceptance. Plain GN (no
+  // damping, always-accept) oscillates on the large global-BA systems: the
+  // quadratic model is only trust-region-valid near the linearization point,
+  // and a 150-camera solve seeded with accumulated drift takes steps far
+  // outside it (measured: ATE on synth_room *doubled* with 5 undamped GN
+  // iterations while mean reprojection error still decreased).
+  auto robust_cost = [&]() {
+    double c = 0;
+    for (const MapPoint* p : pts) {
+      for (const auto& o : p->obs) {
+        int ci = (o.kf < static_cast<int>(id2ci.size())) ? id2ci[o.kf] : -1;
+        if (ci < 0) continue;
+        cv::Mat Xc = *cams[ci].R * p->X + *cams[ci].t;
+        double z = Xc.at<double>(2);
+        if (z < 1e-6) {
+          c += 1e4;  // behind-camera: heavily penalized, not UB
+          continue;
+        }
+        double e = std::hypot(fx * Xc.at<double>(0) / z + cx - o.px.x,
+                              fy * Xc.at<double>(1) / z + cy - o.px.y);
+        c += (e <= huber) ? e * e : huber * (2 * e - huber);
+        if (o.z > 0) {
+          double ez = std::abs(z - o.z) * fx / o.z;
+          c += (ez <= huber_z) ? ez * ez : huber_z * (2 * ez - huber_z);
+        }
+      }
+    }
+    return c;
+  };
+
+  double lambda = use_lm ? 1e-4 : 0.0;
+  double cost_prev = use_lm ? robust_cost() : 0.0;
+
   for (int it = 0; it < iters; ++it) {
     cv::Mat S = cv::Mat::eye(6 * nfree, 6 * nfree, CV_64F) * 1e-6;
     cv::Mat rhs = cv::Mat::zeros(6 * nfree, 1, CV_64F);
+    cv::Mat Hdiag = cv::Mat::zeros(6 * nfree, 1, CV_64F);  // undamped diag
     struct PDat {
       cv::Mat Binv, gp;
       std::vector<int> cams;      // free cam indices
@@ -324,15 +402,14 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
     std::vector<PDat> pd(pts.size());
 
     for (size_t pj = 0; pj < pts.size(); ++pj) {
-      auto& mp = T->mpts[pts[pj]];
+      auto& mp = *pts[pj];
       cv::Mat B = cv::Mat::eye(3, 3, CV_64F) * 1e-6;
       cv::Mat gp = cv::Mat::zeros(3, 1, CV_64F);
       auto& dat = pd[pj];
       for (const auto& o : mp.obs) {
         int ci = (o.kf < static_cast<int>(id2ci.size())) ? id2ci[o.kf] : -1;
         if (ci < 0) continue;
-        const WinKF& kf = T->wkfs[ci];
-        cv::Mat Xc = kf.R * mp.X + kf.t;
+        cv::Mat Xc = *cams[ci].R * mp.X + *cams[ci].t;
         double x = Xc.at<double>(0), y = Xc.at<double>(1),
                z = Xc.at<double>(2);
         if (z < 1e-6) continue;
@@ -342,7 +419,7 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
         double wgt = (e <= huber) ? 1.0 : huber / e;
         cv::Mat Jpi = (cv::Mat_<double>(2, 3) << fx / z, 0, -fx * x / (z * z),
                        0, fy / z, -fy * y / (z * z));
-        cv::Mat Jp = Jpi * kf.R;  // 2x3 wrt point
+        cv::Mat Jp = Jpi * (*cams[ci].R);  // 2x3 wrt point
         B += wgt * Jp.t() * Jp;
         gp -= wgt * Jp.t() * r;
         int fi = ci - nfix;
@@ -354,7 +431,9 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
           cv::Mat Jth = Jpi * (-skew);
           Jth.copyTo(Jc.colRange(0, 3));
           Jpi.copyTo(Jc.colRange(3, 6));
-          S(cv::Rect(6 * fi, 6 * fi, 6, 6)) += wgt * Jc.t() * Jc;
+          cv::Mat JtJ = wgt * Jc.t() * Jc;
+          S(cv::Rect(6 * fi, 6 * fi, 6, 6)) += JtJ;
+          Hdiag.rowRange(6 * fi, 6 * fi + 6) += JtJ.diag();
           rhs.rowRange(6 * fi, 6 * fi + 6) -= wgt * Jc.t() * r;
           dat.cams.push_back(fi);
           dat.C.push_back(wgt * Jc.t() * Jp);  // 6x3
@@ -363,8 +442,8 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
           double sz = fx / o.z;  // meters → disparity-pixel units
           double rz = (z - o.z) * sz;
           double wz = (std::abs(rz) <= huber_z) ? 1.0 : huber_z / std::abs(rz);
-          // d z(Xc) / d X = row 2 of kf.R ; /d(dtheta) = row 2 of -skew(Xc)
-          cv::Mat Jzp = sz * kf.R.row(2);  // 1x3
+          // d z(Xc) / d X = row 2 of R ; /d(dtheta) = row 2 of -skew(Xc)
+          cv::Mat Jzp = sz * cams[ci].R->row(2);  // 1x3
           B += wz * Jzp.t() * Jzp;
           gp -= wz * Jzp.t() * rz;
           if (fi >= 0) {
@@ -375,14 +454,17 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
             Jzc.at<double>(0, 3) = 0.0;
             Jzc.at<double>(0, 4) = 0.0;
             Jzc.at<double>(0, 5) = sz;
-            S(cv::Rect(6 * fi, 6 * fi, 6, 6)) += wz * Jzc.t() * Jzc;
+            cv::Mat JztJz = wz * Jzc.t() * Jzc;
+            S(cv::Rect(6 * fi, 6 * fi, 6, 6)) += JztJz;
+            Hdiag.rowRange(6 * fi, 6 * fi + 6) += JztJz.diag();
             rhs.rowRange(6 * fi, 6 * fi + 6) -= wz * Jzc.t() * rz;
             // merge into the same C block (C is 6x3 per cam entry):
             dat.C.back() += wz * Jzc.t() * Jzp;
           }
         }
       }
-      dat.Binv = B.inv();
+      // LM-damped point block (damping must precede the Schur complement)
+      dat.Binv = (B + lambda * cv::Mat::diag(B.diag())).inv();
       dat.gp = gp;
       // Schur: S -= C Binv C^T ; rhs -= C Binv gp
       for (size_t a = 0; a < dat.cams.size(); ++a) {
@@ -395,17 +477,35 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
       }
     }
 
+    // LM camera damping (the point blocks were damped pre-Schur)
+    for (int i = 0; i < 6 * nfree; ++i)
+      S.at<double>(i, i) += lambda * Hdiag.at<double>(i);
+
     cv::Mat dc;
     if (!cv::solve(S, rhs, dc, cv::DECOMP_CHOLESKY)) break;
-    // update free cams
+
+    // snapshot (LM only), apply, then accept/reject against the robust cost
+    std::vector<cv::Mat> R_save, t_save, X_save;
+    if (use_lm) {
+      R_save.resize(nfree);
+      t_save.resize(nfree);
+      X_save.resize(pts.size());
+      for (int fi = 0; fi < nfree; ++fi) {
+        R_save[fi] = cams[fi + nfix].R->clone();
+        t_save[fi] = cams[fi + nfix].t->clone();
+      }
+      for (size_t pj = 0; pj < pts.size(); ++pj)
+        X_save[pj] = pts[pj]->X.clone();
+    }
+
     for (int fi = 0; fi < nfree; ++fi) {
       cv::Mat dth = dc.rowRange(6 * fi, 6 * fi + 3);
       cv::Mat dt = dc.rowRange(6 * fi + 3, 6 * fi + 6);
       cv::Mat dRm;
       cv::Rodrigues(dth, dRm);
-      WinKF& kf = T->wkfs[fi + nfix];
-      kf.R = dRm * kf.R;
-      kf.t = dRm * kf.t + dt;
+      CamRef& cr = cams[fi + nfix];
+      *cr.R = dRm * (*cr.R);
+      *cr.t = dRm * (*cr.t) + dt;
     }
     // back-substitute points
     for (size_t pj = 0; pj < pts.size(); ++pj) {
@@ -413,7 +513,27 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
       cv::Mat acc = dat.gp.clone();
       for (size_t a = 0; a < dat.cams.size(); ++a)
         acc -= dat.C[a].t() * dc.rowRange(6 * dat.cams[a], 6 * dat.cams[a] + 6);
-      T->mpts[pts[pj]].X += dat.Binv * acc;
+      pts[pj]->X += dat.Binv * acc;
+    }
+
+    if (!use_lm) continue;  // plain GN: always accept (the 24x24 window
+                            // system is well-conditioned; GN converges
+                            // quadratically and LM's rejected steps only
+                            // slow it down — measured on synth_room)
+    double cost_new = robust_cost();
+    if (cost_new >= cost_prev) {  // reject: restore and raise damping
+      for (int fi = 0; fi < nfree; ++fi) {
+        *cams[fi + nfix].R = R_save[fi];
+        *cams[fi + nfix].t = t_save[fi];
+      }
+      for (size_t pj = 0; pj < pts.size(); ++pj) pts[pj]->X = X_save[pj];
+      lambda *= 10.0;
+      if (lambda > 1e8) break;
+    } else {
+      double rel = (cost_prev - cost_new) / std::max(cost_prev, 1e-12);
+      cost_prev = cost_new;
+      lambda = std::max(lambda / 3.0, 1e-8);
+      if (rel < 1e-5) break;  // converged
     }
   }
 
@@ -421,14 +541,14 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
     fprintf(stderr, "[ba] cams=%d pts=%zu err %.2f -> %.2f px\n", nc,
             pts.size(), err0, mean_err());
 
+  if (!prune) return;
   // outlier pruning: drop observations with gross reprojection error
-  for (int j : pts) {
-    auto& mp = T->mpts[j];
+  for (MapPoint* p : pts) {
+    auto& mp = *p;
     auto bad = [&](const Obs& o) {
       int ci = (o.kf < static_cast<int>(id2ci.size())) ? id2ci[o.kf] : -1;
       if (ci < 0) return false;
-      const WinKF& kf = T->wkfs[ci];
-      cv::Mat Xc = kf.R * mp.X + kf.t;
+      cv::Mat Xc = *cams[ci].R * mp.X + *cams[ci].t;
       double z = Xc.at<double>(2);
       if (z < 1e-6) return true;
       double u = fx * Xc.at<double>(0) / z + cx;
@@ -439,6 +559,20 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
                  mp.obs.end());
     if (mp.obs.empty()) mp.dead = true;
   }
+}
+
+// Local bundle adjustment over the keyframe window (the per-keyframe hot
+// path; S is at most 6*(window-1) = 24x24). Refined poses are propagated
+// into the global registry.
+void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
+  std::vector<CamRef> cams;
+  cams.reserve(T->wkfs.size());
+  for (auto& kf : T->wkfs) cams.push_back({kf.id, &kf.R, &kf.t});
+  std::vector<MapPoint*> pts;
+  pts.reserve(T->mpts.size());
+  for (auto& mp : T->mpts)
+    if (!mp.dead && mp.obs.size() >= 2) pts.push_back(&mp);
+  schur_ba(T, K, cams, nfix, iters, pts, /*prune=*/true, /*use_lm=*/false);
 
   // propagate refined window poses into the global registry
   for (const auto& kf : T->wkfs) {
@@ -446,6 +580,43 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
       T->gkfs[kf.id].R = kf.R.clone();
       T->gkfs[kf.id].t = kf.t.clone();
     }
+  }
+}
+
+// Global bundle adjustment over the FULL keyframe registry + all live and
+// archived map points (reference architecture: ORB-SLAM3
+// Optimizer::GlobalBundleAdjustemnt, run by LoopClosing::RunGlobalBundleAdjustment
+// — ours additionally runs on a keyframe cadence while the registry is small
+// enough, which continuously re-anchors mid-trajectory drift that the 5-kf
+// window cannot see). Retired-keyframe observations are retained on points
+// (capped first-4 + last-12 per point) precisely to feed this solve.
+// Refined registry poses are pushed back into the live window + current pose.
+void global_ba(Tracker* T, const cv::Mat& K, int iters = 5) {
+  if (getenv("SG_TRACKER_NO_GBA")) return;  // ablation/debug switch
+  if (const char* e = getenv("SG_TRACKER_GBA_ITERS")) iters = atoi(e);
+  const int nfix = T->is_mono ? 2 : 1;
+  if (static_cast<int>(T->gkfs.size()) <= nfix) return;
+  std::vector<CamRef> cams;
+  cams.reserve(T->gkfs.size());
+  for (auto& g : T->gkfs) cams.push_back({g.id, &g.R, &g.t});
+  std::vector<MapPoint*> pts;
+  pts.reserve(T->mpts.size() + T->arch.size());
+  for (auto& mp : T->mpts)
+    if (!mp.dead && mp.obs.size() >= 2) pts.push_back(&mp);
+  for (auto& mp : T->arch)
+    if (!mp.dead && mp.obs.size() >= 2) pts.push_back(&mp);
+  schur_ba(T, K, cams, nfix, iters, pts, /*prune=*/false, /*use_lm=*/true);
+
+  // refresh the live window + current pose from the adjusted registry
+  for (auto& kf : T->wkfs) {
+    if (kf.id < static_cast<int>(T->gkfs.size())) {
+      kf.R = T->gkfs[kf.id].R.clone();
+      kf.t = T->gkfs[kf.id].t.clone();
+    }
+  }
+  if (!T->wkfs.empty()) {
+    T->R_cur = T->wkfs.back().R.clone();
+    T->t_cur = T->wkfs.back().t.clone();
   }
 }
 
@@ -601,6 +772,9 @@ void try_close_loop(Tracker* T, const cv::Mat& K, GlobalKF& cur) {
       best_matches = std::move(matches);
     }
   }
+  if (getenv("SG_TRACKER_DEBUG"))
+    fprintf(stderr, "[loop-scan] cur=%d cands=%zu best=%d score=%zu\n",
+            cur.id, cands.size(), best_cand, best_score);
   if (best_cand < 0 ||
       best_score < static_cast<size_t>(T->loop_matches_min))
     return;
@@ -608,10 +782,12 @@ void try_close_loop(Tracker* T, const cv::Mat& K, GlobalKF& cur) {
   const GlobalKF& cand = T->gkfs[best_cand];
   std::vector<cv::Point3f> obj;
   std::vector<cv::Point2f> scene;
+  std::vector<cv::Point2f> cand_px;  // candidate-side pixel per match
   for (const auto& m : best_matches) {
     if (m.distance > 50) continue;
     obj.push_back(cand.pts_w[m.queryIdx]);
     scene.push_back(cur.px[m.trainIdx]);
+    cand_px.push_back(cand.px[m.queryIdx]);
   }
   if (obj.size() < static_cast<size_t>(T->loop_inliers_min)) return;
 
@@ -694,6 +870,19 @@ void try_close_loop(Tracker* T, const cv::Mat& K, GlobalKF& cur) {
     if (mp.dead) continue;
     mp.X = G_R * mp.X + G_t;
   }
+  // archived points ride the fractional correction of their newest
+  // observing keyframe (they were triangulated mid-span, where only a
+  // fraction of G was applied to the poses — full G would tear them away
+  // from their own observations and poison the post-loop global BA)
+  for (auto& mp : T->arch) {
+    if (mp.dead || mp.obs.empty()) continue;
+    int kfid = mp.obs.back().kf;
+    if (kfid <= best_cand) continue;
+    double a = std::min(1.0, static_cast<double>(kfid - best_cand) / span);
+    cv::Mat Ra, ta;
+    frac_G(a, &Ra, &ta);
+    mp.X = Ra * mp.X + ta;
+  }
   for (auto& kf : T->wkfs) {
     if (kf.id < static_cast<int>(T->gkfs.size())) {
       kf.R = T->gkfs[kf.id].R.clone();
@@ -706,6 +895,36 @@ void try_close_loop(Tracker* T, const cv::Mat& K, GlobalKF& cur) {
   T->t_cur = cur.t.clone();
   T->last_loop_kf = cur.id;
   T->loop_closed_at = best_cand;
+
+  // Fuse the verified loop matches into long-range constraints: anchor
+  // points observed by BOTH the candidate and the (corrected) current
+  // keyframe (reference architecture: LoopClosing::CorrectLoop map-point
+  // fusion). Without shared observations bridging the loop, the global BA
+  // below would relax back toward the drifted — locally self-consistent —
+  // solution and partially undo the closure.
+  for (int idx : inliers) {
+    MapPoint mp;
+    mp.X = (cv::Mat_<double>(3, 1) << obj[idx].x, obj[idx].y, obj[idx].z);
+    cv::Mat Xc_cand = cand.R * mp.X + cand.t;
+    double z_cand = Xc_cand.at<double>(2);
+    mp.obs.push_back({cand.id, cand_px[idx], z_cand > 0 ? z_cand : 0, 1.0});
+    cv::Mat Xc_cur = cur.R * mp.X + cur.t;
+    double z_cur = Xc_cur.at<double>(2);
+    mp.obs.push_back({cur.id, scene[idx], z_cur > 0 ? z_cur : 0, 1.0});
+    mp.last_seen_frame = T->frame_counter;
+    T->arch.push_back(std::move(mp));
+  }
+
+  // relax the warped trajectory with a full global BA (reference:
+  // LoopClosing::RunGlobalBundleAdjustment follows every accepted closure)
+  if (static_cast<int>(T->gkfs.size()) <= T->gba_max_kfs) {
+    global_ba(T, K, /*iters=*/8);
+    T->kfs_since_gba = 0;
+    cur.R = T->gkfs[cur.id].R.clone();
+    cur.t = T->gkfs[cur.id].t.clone();
+    T->R_cur = cur.R.clone();
+    T->t_cur = cur.t.clone();
+  }
 }
 
 // Relocalization: when tracking is lost, match the current frame against
@@ -912,22 +1131,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     while (T->wkfs.size() > T->window) T->wkfs.pop_front();
     T->frames_since_kf = 0;
 
-    // prune window-external observations; cull stale points
-    {
-      int oldest = T->wkfs.front().id;
-      std::vector<MapPoint> kept;
-      kept.reserve(T->mpts.size());
-      for (auto& mp : T->mpts) {
-        if (mp.dead || frame_no - mp.last_seen_frame > 60) continue;
-        auto it = std::remove_if(mp.obs.begin(), mp.obs.end(),
-                                 [&](const Obs& o) { return o.kf < oldest; });
-        mp.obs.erase(it, mp.obs.end());
-        // points with no in-window obs stay alive for PnP tracking until
-        // they go stale — culling them starves the local map
-        kept.push_back(std::move(mp));
-      }
-      T->mpts = std::move(kept);
-    }
+    retire_stale_points(T, frame_no, /*stale_after=*/60);
 
     GlobalKF g;
     g.id = kf_id;
@@ -941,6 +1145,12 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     // adopt the BA-refined newest pose
     T->R_cur = T->wkfs.back().R.clone();
     T->t_cur = T->wkfs.back().t.clone();
+
+    if (T->gba_every > 0 && ++T->kfs_since_gba >= T->gba_every &&
+        static_cast<int>(T->gkfs.size()) <= T->gba_max_kfs) {
+      global_ba(T, K);
+      T->kfs_since_gba = 0;
+    }
 
     try_close_loop(T, K, T->gkfs.back());
   };
@@ -1591,27 +1801,19 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
   T->frames_since_kf = 0;
   push_global(kf_id, R, t, kps, desc);
 
-  // drop window-external observations (BA only sees the window); points
-  // themselves stay alive for PnP until they go stale — tying point lifetime
-  // to the keyframe window starves the map during keyframe bursts
-  {
-    int oldest = T->wkfs.front().id;
-    std::vector<MapPoint> kept;
-    kept.reserve(T->mpts.size());
-    for (auto& mp : T->mpts) {
-      if (mp.dead || frame_no - mp.last_seen_frame > 40) continue;
-      auto it = std::remove_if(mp.obs.begin(), mp.obs.end(),
-                               [&](const Obs& o) { return o.kf < oldest; });
-      mp.obs.erase(it, mp.obs.end());
-      kept.push_back(std::move(mp));
-    }
-    T->mpts = std::move(kept);
-  }
+  retire_stale_points(T, frame_no, /*stale_after=*/40);
 
   local_ba(T, K, /*nfix=*/2);  // mono: two fixed poses gauge the scale
   // adopt the BA-refined newest pose as the tracking state and output
   T->R_cur = T->wkfs.back().R.clone();
   T->t_cur = T->wkfs.back().t.clone();
+
+  if (T->gba_every > 0 && ++T->kfs_since_gba >= T->gba_every &&
+      static_cast<int>(T->gkfs.size()) <= T->gba_max_kfs) {
+    global_ba(T, K);
+    T->kfs_since_gba = 0;
+  }
+
   write_pose7(T->R_cur, T->t_cur, pose_out);
   return 1;
 }
