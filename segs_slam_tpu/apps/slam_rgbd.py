@@ -233,6 +233,11 @@ def main(argv=None):
     p.add_argument("--pose-refine-every", type=int, default=0,
                    help="photometric keyframe-pose refinement cadence "
                         "(0 = off; try 25 with --tracker native)")
+    p.add_argument("--optimize-poses", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="in-step photometric pose optimization (per-keyframe "
+                        "SE3 deltas trained jointly with the map); auto = on "
+                        "for --tracker native, off for the pose oracle")
     p.add_argument("--all-frames-eval", action="store_true",
                    help="post-run novel-view eval over EVERY tracked frame "
                         "(reference: renderAndRecordAllframes)")
@@ -300,6 +305,9 @@ def main(argv=None):
         mapper_overrides=dict(min_num_initial_map_kfs=args.min_init_kfs,
                               pose_refine_every=args.pose_refine_every),
     )
+    if args.optimize_poses == "on" or (
+            args.optimize_poses == "auto" and args.tracker == "native"):
+        trainer_kwargs["optimize_poses"] = True
     trainer = Trainer(mc, oc, rc, width=cam.width, height=cam.height,
                       **trainer_kwargs)
     trainer.scene.add_camera(cam)
@@ -328,6 +336,9 @@ def main(argv=None):
     mapper.run(max_iterations=args.iters_budget)
     prod_thread.join()
     runtime = time.time() - t0
+    nfold = trainer.fold_pose_deltas()
+    if nfold:
+        print(f"folded in-step pose deltas into {nfold} keyframes")
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

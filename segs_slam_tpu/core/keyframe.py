@@ -107,4 +107,7 @@ class Keyframe:
             "pose7": self.pose7(),
             "tan_fovx": np.float32(self.camera.tan_fovx),
             "tan_fovy": np.float32(self.camera.tan_fovy),
+            # needed by in-step pose optimization (apply_pose_delta rebuilds
+            # full_proj_transform = wvt @ projection after the SE3 update)
+            "projection_matrix": self.projection,
         }

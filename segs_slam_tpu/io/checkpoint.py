@@ -21,12 +21,21 @@ import numpy as np
 import jax
 
 
+def _pad_empty(x):
+    """Orbax refuses zero-size arrays (e.g. the (0, 6) pose table when pose
+    optimization is off); stand in a minimal non-empty placeholder."""
+    a = np.asarray(x)
+    if a.size == 0:
+        return np.zeros(tuple(max(1, s) for s in a.shape), a.dtype)
+    return a
+
+
 def save_train_state(path: str | Path, state) -> None:
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.tree.map(np.asarray, state))
+    ckptr.save(path, jax.tree.map(_pad_empty, state))
     ckptr.wait_until_finished()
 
 
@@ -35,7 +44,13 @@ def load_train_state(path: str | Path, template):
 
     path = Path(path).absolute()
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, template)
+    restored = ckptr.restore(path, jax.tree.map(_pad_empty, template))
+
+    def unpad(r, t):
+        t = np.asarray(t)
+        return np.zeros(t.shape, t.dtype) if t.size == 0 else r
+
+    return jax.tree.map(unpad, restored, template)
 
 
 def save_mlp_checkpoints_txt(out_dir: str | Path, decoders: dict) -> None:

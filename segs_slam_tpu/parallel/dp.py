@@ -31,6 +31,7 @@ CAM_SPEC = {
     "pose7": P("dp"),
     "tan_fovx": P("dp"),
     "tan_fovy": P("dp"),
+    "projection_matrix": P("dp"),
 }
 
 

@@ -128,8 +128,8 @@ class Mapper:
             for kfd in op.keyframes:
                 existing = self.trainer.scene.keyframes.get(kfd.kf_id)
                 if existing is not None:
-                    existing.set_pose(kfd.quat, kfd.trans)
-                    self.trainer._cam_cache.pop(kfd.kf_id, None)
+                    self.trainer.set_keyframe_pose(existing, kfd.quat,
+                                                   kfd.trans)
                     existing.remaining_times_of_use += (
                         self.config.local_ba_increased_times_of_use
                     )
@@ -138,8 +138,7 @@ class Mapper:
             for kid, (q, t) in op.pose_updates.items():
                 kf = self.trainer.scene.keyframes.get(kid)
                 if kf is not None:
-                    kf.set_pose(q, t)
-                    self.trainer._cam_cache.pop(kid, None)
+                    self.trainer.set_keyframe_pose(kf, q, t)
             if op.points_xyz is not None and len(op.points_xyz) >= 30:
                 if self.initialized:
                     self.trainer.insert_points(np.asarray(op.points_xyz))
@@ -153,8 +152,7 @@ class Mapper:
             for kid, (q, t) in op.pose_updates.items():
                 kf = self.trainer.scene.keyframes.get(kid)
                 if kf is not None:
-                    kf.set_pose(q, t)
-                    self.trainer._cam_cache.pop(kid, None)
+                    self.trainer.set_keyframe_pose(kf, q, t)
                     kf.remaining_times_of_use += (
                         self.config.loop_closure_increased_times_of_use
                     )
@@ -167,8 +165,7 @@ class Mapper:
             for kid, (q, t) in op.pose_updates.items():
                 kf = self.trainer.scene.keyframes.get(kid)
                 if kf is not None:
-                    kf.set_pose(q, t)
-                    self.trainer._cam_cache.pop(kid, None)
+                    self.trainer.set_keyframe_pose(kf, q, t)
 
     def _try_initialize(self, op: MappingOperation) -> None:
         self._apply_operation(op)

@@ -83,6 +83,22 @@ class OptimizationConfig:
 
     spatial_lr_scale: float = 1.0  # cameras_extent (getNerfppNorm radius)
 
+    # in-step photometric pose optimization (beyond reference: per-keyframe
+    # SE3 tangent deltas trained jointly with the map, train/step.py).
+    # Tangent units mix radians and meters; lr is NOT scaled by
+    # spatial_lr_scale — pose errors are sensor-scale, not scene-scale.
+    pose_lr_init: float = 1e-3
+    pose_lr_final: float = 1e-5
+    pose_lr_delay_mult: float = 0.01
+    pose_lr_max_steps: int = 30_000
+    # L2 prior anchoring each delta to its SLAM base pose. Without it the
+    # deltas random-walk: Adam's scale-free steps move a pose ~lr per visit
+    # even when the photometric gradient is pure noise (measured |delta|
+    # drift 0.045 over 300 iterations at ground-truth poses). The prior's
+    # pull (2*lambda*|d|) caps noise-driven drift at |d| ~ noise/(2*lambda)
+    # while a real pose error's photometric gradient overwhelms it.
+    pose_prior: float = 0.02
+
     def lr_schedules(self) -> dict:
         """Schedules per param-tree path prefix; mirrors updateLearningRate
         (src/gaussian_model.cpp:874-998): anchor/offset/mlp_* are scheduled,
@@ -113,4 +129,6 @@ class OptimizationConfig:
             "appearance": ExponLR(self.appearance_lr_init, self.appearance_lr_final,
                                   0, self.appearance_lr_delay_mult,
                                   self.appearance_lr_max_steps),
+            "pose": ExponLR(self.pose_lr_init, self.pose_lr_final, 0,
+                            self.pose_lr_delay_mult, self.pose_lr_max_steps),
         }

@@ -50,17 +50,29 @@ class TrainState(NamedTuple):
     adam: optimizer.AdamState
     stats: DensifyStats
     step: jnp.ndarray  # () int32
+    # per-keyframe SE3 tangent deltas (omega, upsilon), row-assigned by the
+    # trainer: in-step photometric pose optimization (beyond reference — the
+    # reference takes SLAM poses as given; a differentiable renderer makes
+    # them free parameters). Zero rows = identity. Shape (max_kfs, 6);
+    # (0, 6) when pose optimization is off.
+    pose: jnp.ndarray
+
+    @property
+    def pose_rows(self) -> int:
+        return self.pose.shape[0]
 
 
 def init_train_state(anchors: AnchorState, decoders: dict,
-                     config: ModelConfig) -> TrainState:
-    params = {"anchors": anchors.params(), "decoders": decoders}
+                     config: ModelConfig, max_pose_kfs: int = 0) -> TrainState:
+    pose = jnp.zeros((max_pose_kfs, 6), jnp.float32)
+    params = {"anchors": anchors.params(), "decoders": decoders, "pose": pose}
     return TrainState(
         anchors=anchors,
         decoders=decoders,
         adam=optimizer.init(params),
         stats=DensifyStats.zeros(config.capacity, config.n_offsets),
         step=jnp.zeros((), jnp.int32),
+        pose=pose,
     )
 
 
@@ -81,9 +93,41 @@ def _lr_tree(params: dict, schedules: dict, step) -> dict:
         top = path[0].key
         if top == "anchors":
             return schedules[path[1].key](step)
+        if top == "pose":
+            return schedules["pose"](step)
         return schedules[_DECODER_GROUP[path[1].key]](step)
 
     return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def apply_pose_delta(cam: dict, delta: jnp.ndarray) -> dict:
+    """Left-multiply exp(delta) onto the camera's world-to-view transform.
+
+    delta = (omega[3], upsilon[3]) in the SE3 tangent at the current pose.
+    The appearance input `pose7` is intentionally held at the base pose so
+    pose gradients flow through geometry, not through the appearance MLP's
+    color modulation (same reasoning as Trainer.refine_keyframe_pose).
+    """
+    w, v = delta[:3], delta[3:]
+    # smooth at w=0: plain norm has a NaN gradient there
+    th = jnp.sqrt(jnp.sum(w * w) + 1e-16)
+    K = jnp.array([
+        [0.0, -w[2], w[1]],
+        [w[2], 0.0, -w[0]],
+        [-w[1], w[0], 0.0],
+    ])
+    R = (jnp.eye(3) + jnp.sin(th) / th * K
+         + (1 - jnp.cos(th)) / th**2 * (K @ K))
+    W2C0 = cam["world_view_transform"].T
+    Rn = R @ W2C0[:3, :3]
+    tn = R @ W2C0[:3, 3] + v
+    W2C = jnp.eye(4).at[:3, :3].set(Rn).at[:3, 3].set(tn)
+    wvt = W2C.T
+    out = dict(cam)
+    out["world_view_transform"] = wvt
+    out["full_proj_transform"] = wvt @ cam["projection_matrix"]
+    out["camera_center"] = -Rn.T @ tn
+    return out
 
 
 def make_train_step(
@@ -109,18 +153,26 @@ def make_train_step(
     freq_scales = tuple(1.0 / 2**i for i in range(opt_config.scale_num))
 
     def step_fn(ts: TrainState, cam: dict, gt_image: jnp.ndarray,
-                bg: jnp.ndarray):
+                bg: jnp.ndarray, kf_row=None):
         it = ts.step + 1
 
-        params = {"anchors": ts.anchors.params(), "decoders": ts.decoders}
+        params = {"anchors": ts.anchors.params(), "decoders": ts.decoders,
+                  "pose": ts.pose}
         mean2d_zero = jnp.zeros((cap * k, 2), jnp.float32)
+        # in-step pose optimization engages when the state carries pose rows
+        # AND the caller identifies the keyframe's row
+        opt_pose = ts.pose.shape[0] > 0 and kf_row is not None
 
         def loss_fn(params, mean2d_offset):
             anchors = ts.anchors.replace_params(params["anchors"])
+            cam_used = (
+                apply_pose_delta(cam, params["pose"][kf_row])
+                if opt_pose else cam
+            )
             out = render(
                 anchors,
                 params["decoders"],
-                cam,
+                cam_used,
                 width,
                 height,
                 bg,
@@ -150,6 +202,11 @@ def make_train_step(
 
             lam = opt_config.lambda_dssim
             loss = (1.0 - lam) * l1 + lam * (1.0 - ssim_v) + 0.01 * scaling_reg
+            if opt_pose:
+                # L2 prior toward the SLAM base pose (see
+                # OptimizationConfig.pose_prior)
+                loss = loss + opt_config.pose_prior * jnp.sum(
+                    params["pose"][kf_row] ** 2)
 
             if opt_config.use_frequency_regularization:
                 # lax.cond so the FFTs (and their grads) only run inside the
@@ -252,8 +309,24 @@ def make_train_step(
         lr_tree = _lr_tree(params, schedules, it)
         active = ts.anchors.active
 
+        # pose rows: only the rendered keyframe's row may move (zero grads
+        # elsewhere would still decay that row's Adam moments into drift).
+        # Under dp the per-chip masks differ, so OR them across the axis:
+        # grads were pmean'd, so every chip applies the identical update.
+        if opt_pose:
+            pose_mask = jnp.arange(ts.pose.shape[0]) == kf_row
+            if axis_name is not None:
+                pose_mask = jax.lax.psum(
+                    pose_mask.astype(jnp.float32), axis_name) > 0
+        else:
+            pose_mask = jnp.zeros((ts.pose.shape[0],), bool)
+
         def row_mask(path):
-            return active if path[0].key == "anchors" else None
+            if path[0].key == "anchors":
+                return active
+            if path[0].key == "pose":
+                return pose_mask
+            return None
 
         new_params, new_adam = optimizer.update(
             params, grads, ts.adam, lr_tree, row_mask_fn=row_mask
@@ -266,6 +339,7 @@ def make_train_step(
             adam=new_adam,
             stats=new_stats,
             step=it,
+            pose=new_params["pose"],
         )
         metrics = {
             "loss": loss,

@@ -44,6 +44,12 @@ class Trainer:
     # GausPyramid.* keys + src/gaussian_mapper.cpp:837-859)
     num_pyramid_sub_levels: int = 0
     pyramid_times_of_use: int = 8
+    # in-step photometric pose optimization: per-keyframe SE3 tangent deltas
+    # trained jointly with the map (train/step.py apply_pose_delta; beyond
+    # reference). Rows are assigned per keyframe in arrival order; keyframes
+    # beyond max_pose_kfs train at their base pose.
+    optimize_poses: bool = False
+    max_pose_kfs: int = 512
 
     scene: Scene = field(init=False)
     state: TrainState = field(init=False, default=None)
@@ -59,6 +65,7 @@ class Trainer:
         self._rng = jax.random.PRNGKey(self.seed)
         self._cam_cache: dict[int, dict] = {}
         self._gt_cache: dict[tuple[int, int], jnp.ndarray] = {}
+        self._pose_rows: dict[int, int] = {}  # kf_id -> pose-table row
         # pyramid level sizes: level i < num_sub_levels is w / 2^(num-i),
         # rounded to a multiple of 16 (reference: graphics_utils.h:26-40)
         self._level_sizes = []
@@ -100,6 +107,9 @@ class Trainer:
         self._cam_cache.pop(kf.kf_id, None)
         for lvl in range(self.num_pyramid_sub_levels + 1):
             self._gt_cache.pop((kf.kf_id, lvl), None)
+        if (self.optimize_poses and kf.kf_id not in self._pose_rows
+                and len(self._pose_rows) < self.max_pose_kfs):
+            self._pose_rows[kf.kf_id] = len(self._pose_rows)
 
     def initialize_map(self, points: np.ndarray) -> int:
         # cameras_extent -> spatial_lr_scale (reference: getNerfppNorm radius
@@ -120,7 +130,10 @@ class Trainer:
         decoders = init_decoders(
             jax.random.PRNGKey(self.seed), self.model_config
         )
-        self.state = init_train_state(anchors, decoders, self.model_config)
+        self.state = init_train_state(
+            anchors, decoders, self.model_config,
+            max_pose_kfs=self.max_pose_kfs if self.optimize_poses else 0,
+        )
         return n
 
     def insert_points(self, points: np.ndarray) -> int:
@@ -189,6 +202,96 @@ class Trainer:
             gt = jnp.asarray(img, jnp.float32)
             self._gt_cache[(kf.kf_id, level)] = gt
         return cam, gt
+
+    # --- in-step pose optimization bookkeeping ------------------------------
+    @staticmethod
+    def _fold_delta_np(q0, t0, delta):
+        """Compose exp(delta) with a base (quat, trans) pose; numpy mirror of
+        train/step.py apply_pose_delta. Returns (quat, trans)."""
+        from segs_slam_tpu.core import se3
+
+        delta = np.asarray(delta, np.float64)
+        w, v = delta[:3], delta[3:]
+        th = np.linalg.norm(w) + 1e-12
+        K = np.array([
+            [0.0, -w[2], w[1]],
+            [w[2], 0.0, -w[0]],
+            [-w[1], w[0], 0.0],
+        ])
+        R = (np.eye(3) + np.sin(th) / th * K
+             + (1 - np.cos(th)) / th**2 * (K @ K))
+        R0 = np.asarray(
+            se3.quat_to_rotmat(jnp.asarray(q0, jnp.float32)), np.float64)
+        Rn = R @ R0
+        tn = R @ np.asarray(t0, np.float64) + v
+        q = np.asarray(se3.rotmat_to_quat(jnp.asarray(Rn, jnp.float32)))
+        return q, tn
+
+    def set_keyframe_pose(self, kf: Keyframe, quat, trans) -> None:
+        """Adopt an externally-refreshed pose (SLAM BA / loop / scale op) and
+        drop any learned photometric delta for that keyframe — the delta was
+        relative to the stale base."""
+        kf.set_pose(quat, trans)
+        self._cam_cache.pop(kf.kf_id, None)
+        row = self._pose_rows.get(kf.kf_id)
+        if row is not None and self.state is not None \
+                and self.state.pose.shape[0]:
+            from segs_slam_tpu.train import optimizer as _opt
+
+            mask = jnp.arange(self.state.pose.shape[0]) == row
+            adam = _opt.reset_rows(
+                self.state.adam, lambda p: p[0].key == "pose", mask)
+            self.state = self.state._replace(
+                pose=self.state.pose.at[row].set(0.0), adam=adam)
+
+    def pose_delta_np(self, kf_id: int):
+        """Current learned SE3 delta for a keyframe, or None."""
+        row = self._pose_rows.get(kf_id)
+        if row is None or self.state is None or not self.state.pose.shape[0]:
+            return None
+        d = np.asarray(self.state.pose[row])
+        return d if np.any(d) else None
+
+    def refined_cam(self, kf: Keyframe) -> dict:
+        """Render inputs at the pose-optimized camera (base ∘ exp(delta))."""
+        cam, _ = self._kf_inputs(kf)
+        d = self.pose_delta_np(kf.kf_id)
+        if d is None:
+            return cam
+        from segs_slam_tpu.train.step import apply_pose_delta
+
+        return apply_pose_delta(cam, jnp.asarray(d, jnp.float32))
+
+    def fold_pose_deltas(self) -> int:
+        """Fold every learned pose delta into its keyframe's base pose and
+        clear the table (+ Adam moments). Call before exporting poses /
+        final evaluation so all downstream consumers (PLY, cameras.json,
+        trajectory rewrite, recorder) see the optimized poses. Returns the
+        number of keyframes updated."""
+        if self.state is None or not self.state.pose.shape[0]:
+            return 0
+        table = np.asarray(self.state.pose)
+        n = 0
+        for kf_id, row in self._pose_rows.items():
+            d = table[row]
+            if not np.any(d):
+                continue
+            kf = self.scene.keyframes.get(kf_id)
+            if kf is None:
+                continue
+            q, t = self._fold_delta_np(kf.quat, kf.trans, d)
+            kf.set_pose(q, t)
+            self._cam_cache.pop(kf_id, None)
+            n += 1
+        if n:
+            from segs_slam_tpu.train import optimizer as _opt
+
+            full = jnp.ones((self.state.pose.shape[0],), bool)
+            adam = _opt.reset_rows(
+                self.state.adam, lambda p: p[0].key == "pose", full)
+            self.state = self.state._replace(
+                pose=jnp.zeros_like(self.state.pose), adam=adam)
+        return n
 
     # --- photometric keyframe-pose refinement -------------------------------
     # The reference takes the SLAM poses as given; a differentiable renderer
@@ -333,7 +436,13 @@ class Trainer:
         )
         w, h = self._level_sizes[level] if self._level_sizes else (self.width, self.height)
         cam, gt = self._kf_inputs(kf, level)
-        self.state, metrics = self._step_for(w, h)(self.state, cam, gt, self._bg)
+        row = self._pose_rows.get(kf.kf_id) if self.optimize_poses else None
+        if row is not None:
+            self.state, metrics = self._step_for(w, h)(
+                self.state, cam, gt, self._bg, jnp.int32(row))
+        else:
+            self.state, metrics = self._step_for(w, h)(
+                self.state, cam, gt, self._bg)
 
         oc = self.opt_config
         it = self.iteration
@@ -400,7 +509,7 @@ class Trainer:
         return self._eval_render_chain
 
     def render_keyframe(self, kf: Keyframe):
-        cam, _ = self._kf_inputs(kf)
+        cam = self.refined_cam(kf)
         return self._eval_render()(self.state.anchors, self.state.decoders, cam)
 
     def _eval_metrics(self):
@@ -436,6 +545,11 @@ class Trainer:
     def render_and_measure_keyframe(self, kf: Keyframe):
         """Async-dispatched (img_masked, psnr, ssim, psnr_gs) device tuple."""
         cam, gt = self._kf_inputs(kf)
+        d = self.pose_delta_np(kf.kf_id)
+        if d is not None:
+            from segs_slam_tpu.train.step import apply_pose_delta
+
+            cam = apply_pose_delta(cam, jnp.asarray(d, jnp.float32))
         return self._eval_render_metrics()(
             self.state.anchors, self.state.decoders, cam, gt
         )
