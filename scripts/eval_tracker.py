@@ -57,6 +57,17 @@ def main():
         frames = frames[: args.max_frames]
     tracker = NativeTracker(args.fx, args.fy, args.cx, args.cy)
 
+    # optional inertial stream (see utils/make_imu.py): preintegrated by the
+    # tracker into its motion prior
+    imu = None
+    from pathlib import Path
+    imu_path = Path(args.path) / "imu.txt"
+    if imu_path.exists():
+        from segs_slam_tpu.utils.make_imu import load_imu_txt
+        ts_imu, gy, ac = load_imu_txt(imu_path)
+        imu = [ts_imu, gy, ac, 0]
+        print(f"IMU stream: {len(ts_imu)} samples")
+
     est_centers, gt_centers = [], []
     fed = []
     n_kf = 0
@@ -65,6 +76,14 @@ def main():
         rgb = fr.load_rgb()
         gray = (rgb.mean(axis=2) * 255).astype(np.uint8)
         fed.append(i)
+        if imu is not None:
+            ts_imu, gy, ac, cur = imu
+            dt_s = ts_imu[1] - ts_imu[0] if len(ts_imu) > 1 else 0.0
+            t_frame = i / 30.0
+            while cur < len(ts_imu) and ts_imu[cur] < t_frame - 1e-9:
+                tracker.feed_imu(dt_s, gy[cur], ac[cur])
+                cur += 1
+            imu[3] = cur
         if args.mono:
             status, pose7, n_inl = tracker.track_mono(gray)
         else:

@@ -57,7 +57,7 @@ DATASET_DEFAULTS = {
 
 def run_producer(frames, camera, queue, tracker_kind, depth_scale,
                  keyframe_every, points_per_kf, tracking_times, stop_event,
-                 fps=0.0, dist_coeffs=None):
+                 fps=0.0, dist_coeffs=None, imu=None, data_fps=30.0):
     """Tracking thread: decode + undistort + track + push keyframe ops.
 
     When `dist_coeffs` is set, images are undistorted before anything sees
@@ -154,6 +154,18 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
         t0 = time.perf_counter()
         pose_updates = None
         loop_cand = -1
+        if tracker is not None and imu is not None:
+            # feed IMU samples up to this frame's timestamp; the tracker
+            # preintegrates them into the motion prior (reference:
+            # ORB-SLAM3 Tracking.cc PreintegrateIMU / PredictStateIMU)
+            imu_times, imu_gyro, imu_accel, imu_cursor = imu
+            t_frame = i / data_fps
+            dt_s = (imu_times[1] - imu_times[0]) if len(imu_times) > 1 else 0.0
+            while (imu_cursor[0] < len(imu_times)
+                   and imu_times[imu_cursor[0]] < t_frame - 1e-9):
+                k = imu_cursor[0]
+                tracker.feed_imu(dt_s, imu_gyro[k], imu_accel[k])
+                imu_cursor[0] += 1
         if tracker is not None and depth is not None:
             fed_frames.append(i)
             gray = (rgb.mean(axis=2) * 255).astype(np.uint8)
@@ -322,11 +334,23 @@ def main(argv=None):
     stop_event = threading.Event()
     est_rows_box: list = []
 
+    # optional inertial stream: <path>/imu.txt rows `t gx gy gz ax ay az`
+    # (written by utils/make_rgbd_dataset --imu; EuRoC-convention units).
+    # Fed to the native tracker's preintegration between frames.
+    imu = None
+    imu_path = Path(args.path) / "imu.txt"
+    if args.tracker == "native" and imu_path.exists():
+        from segs_slam_tpu.utils.make_imu import load_imu_txt
+
+        ts_imu, gy, ac = load_imu_txt(imu_path)
+        imu = (ts_imu, gy, ac, [0])
+        print(f"IMU stream: {len(ts_imu)} samples from {imu_path}")
+
     def producer():
         est_rows_box.extend(
             run_producer(frames, cam, queue, args.tracker, d["depth_scale"],
                          args.keyframe_every, 300, tracking_times, stop_event,
-                         fps=args.fps, dist_coeffs=dist_coeffs)
+                         fps=args.fps, dist_coeffs=dist_coeffs, imu=imu)
         )
         mapper.signal_stop()
 

@@ -96,6 +96,20 @@ def _load():
         ]
     lib.sg_tracker_poll_loop.restype = ctypes.c_int
     lib.sg_tracker_poll_loop.argtypes = [ctypes.c_void_p]
+    lib.sg_tracker_feed_imu.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.sg_tracker_imu_delta.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.sg_tracker_set_gravity.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.sg_tracker_set_gt_hint.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
+    ]
     lib.sg_tracker_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -246,6 +260,35 @@ class NativeTracker:
         """Candidate kf id of the latest loop closure since the last poll,
         or -1. A non-negative value means the trajectory was corrected."""
         return self._lib.sg_tracker_poll_loop(self._h)
+
+    def feed_imu(self, dt: float, gyro, accel):
+        """Feed one body-frame IMU sample covering `dt` seconds. Samples
+        preintegrate until the next accepted track() frame (reference:
+        ORB-SLAM3 ImuTypes.cc IntegrateNewMeasurement)."""
+        g = (ctypes.c_double * 3)(*[float(v) for v in gyro])
+        a = (ctypes.c_double * 3)(*[float(v) for v in accel])
+        self._lib.sg_tracker_feed_imu(self._h, float(dt), g, a)
+
+    def imu_delta(self):
+        """Current preintegrated (dR 3x3, dv 3, dp 3), gravity-free, in the
+        body frame at the last accepted frame."""
+        dR = (ctypes.c_double * 9)()
+        dv = (ctypes.c_double * 3)()
+        dp = (ctypes.c_double * 3)()
+        self._lib.sg_tracker_imu_delta(self._h, dR, dv, dp)
+        return (np.array(dR[:9]).reshape(3, 3), np.array(dv[:3]),
+                np.array(dp[:3]))
+
+    def set_gravity(self, g_w):
+        """World gravity vector (default (0, +9.81, 0): +y down)."""
+        g = (ctypes.c_double * 3)(*[float(v) for v in g_w])
+        self._lib.sg_tracker_set_gravity(self._h, g)
+
+    def set_gt_hint(self, pose7):
+        """Diagnostic (SG_ABL_FORCE_GT=1): ground-truth pose for the next
+        track() — internal state adopts it, pose_out stays the estimate."""
+        p = (ctypes.c_double * 7)(*[float(v) for v in pose7])
+        self._lib.sg_tracker_set_gt_hint(self._h, p)
 
     def __del__(self):
         try:

@@ -33,7 +33,9 @@
 #include <cmath>
 #include <cstring>
 #include <deque>
+#include <map>
 #include <memory>
+#include <set>
 #include <vector>
 
 #include <opencv2/calib3d.hpp>
@@ -61,6 +63,7 @@ struct MapPoint {
   cv::Mat desc;  // 1xD, most recent view
   std::vector<Obs> obs;
   int last_kf = -1;
+  int born = 0;             // frame_no at creation (track-longevity signal)
   int last_seen_frame = 0;  // last frame where this point was a PnP inlier
   bool dead = false;
 };
@@ -70,6 +73,9 @@ struct WinKF {  // BA window member: full feature set for triangulation
   cv::Mat R, t;  // world-to-camera
   std::vector<cv::KeyPoint> kps;
   cv::Mat desc;
+  // image/depth pyramids (CV_32F) for dense direct pose refinement;
+  // empty for mono keyframes (no dense depth available)
+  std::vector<cv::Mat> gray_pyr, depth_pyr;
 };
 
 struct GlobalKF {  // persistent registry row: place recognition + trajectory
@@ -91,7 +97,7 @@ struct Tracker {
   double kf_min_translation = 0.08;   // meters from the last keyframe
   double kf_min_rotation_deg = 8.0;   // degrees
   double kf_min_match_ratio = 0.60;   // inliers vs local-map matches
-  size_t window = 5;                  // BA keyframe window
+  size_t window = 10;                 // BA keyframe window (structure-only BA is linear in it; wide window also serves dense anchor selection)
 
   cv::Mat R_cur, t_cur;  // world-to-camera of the latest tracked frame
   // constant-velocity motion model (reference architecture:
@@ -127,6 +133,35 @@ struct Tracker {
   int loop_inliers_min = 25;
   int loop_max_candidates = 60;  // cap on the place-recognition scan
 
+  // --- IMU preintegration (reference: ORB-SLAM3/src/ImuTypes.cc
+  // Preintegrated::IntegrateNewMeasurement; Tracking.cc PredictStateIMU).
+  // Body frame = camera frame (identity extrinsic; the synthetic rig and
+  // most RGB-D-inertial rigs are close to this — a fixed T_bc could be
+  // folded in here if needed). Right-multiplicative convention:
+  //   R_wb(t+dt) = R_wb(t) exp([w dt])
+  // Accumulates gravity-free deltas in the body frame at the last frame.
+  cv::Mat imu_dR = cv::Mat::eye(3, 3, CV_64F);
+  cv::Mat imu_dv = cv::Mat::zeros(3, 1, CV_64F);
+  cv::Mat imu_dp = cv::Mat::zeros(3, 1, CV_64F);
+  double imu_dt_sum = 0.0;
+  bool has_imu = false;       // any IMU fed since the last frame
+  cv::Mat gravity_w = (cv::Mat_<double>(3, 1) << 0.0, 9.81, 0.0);
+  cv::Mat v_w = cv::Mat::zeros(3, 1, CV_64F);  // world velocity estimate
+  bool have_v_w = false;
+
+  // diagnostic-only (SG_ABL_FORCE_GT): ground-truth pose hint for the next
+  // frame; when set, the internal state adopts it after estimation so the
+  // closed-loop feedback can be separated from single-step estimator bias
+  cv::Mat gt_R, gt_t;
+  bool has_gt_hint = false;
+
+  // depth-vs-parallax conflict statistics (diagnostic): schur_ba's prune
+  // culls depth measurements that persistently disagree with the multi-view
+  // solution.
+  long z_conflict = 0;
+  long z_checked = 0;
+
+
   // global bundle adjustment (reference: ORB-SLAM3
   // Optimizer::GlobalBundleAdjustemnt, run after every accepted loop
   // closure). Runs ONLY after loop closures by default: cadence GBA on a
@@ -139,6 +174,24 @@ struct Tracker {
   int gba_max_kfs = 150;        // skip GBA beyond this many registry rows
   int kfs_since_gba = 0;
 };
+
+// Per-feature subpixel refinement (reference gap noted vs ORB-SLAM3's
+// octave-aware localization): FAST/Harris corners come at integer pixel
+// positions; a few iterations of cornerSubPix on the full-resolution image
+// cuts the localization error that otherwise accumulates as pose drift.
+void refine_subpixel(const cv::Mat& img, std::vector<cv::KeyPoint>& kps) {
+  if (kps.empty() || getenv("SG_ABL_NO_SUBPIX")) return;
+  std::vector<cv::Point2f> pts(kps.size());
+  for (size_t i = 0; i < kps.size(); ++i) pts[i] = kps[i].pt;
+  cv::cornerSubPix(
+      img, pts, cv::Size(3, 3), cv::Size(-1, -1),
+      cv::TermCriteria(cv::TermCriteria::COUNT | cv::TermCriteria::EPS, 12,
+                       0.02));
+  for (size_t i = 0; i < kps.size(); ++i) {
+    // reject refinements that ran away from the detected corner
+    if (cv::norm(pts[i] - kps[i].pt) <= 2.0f) kps[i].pt = pts[i];
+  }
+}
 
 double rotation_angle_deg(const cv::Mat& R) {
   double tr = R.at<double>(0, 0) + R.at<double>(1, 1) + R.at<double>(2, 2);
@@ -328,7 +381,10 @@ void schur_ba(Tracker* T, const cv::Mat& K, std::vector<CamRef>& cams,
               bool prune, bool use_lm = false) {
   const int nc = static_cast<int>(cams.size());
   const int nfree = nc - nfix;
-  if (nfree < 1 || pts.empty()) return;
+  // nfree == 0 is the STRUCTURE-ONLY mode: all poses held, points refined
+  // to multi-view (parallax) consistency — used by the keyframe-cadence
+  // local BA where poses are anchored by dense direct odometry
+  if (nfree < 0 || pts.empty()) return;
 
   const double fx = K.at<double>(0, 0), fy = K.at<double>(1, 1);
   const double cx = K.at<double>(0, 2), cy = K.at<double>(1, 2);
@@ -481,8 +537,8 @@ void schur_ba(Tracker* T, const cv::Mat& K, std::vector<CamRef>& cams,
     for (int i = 0; i < 6 * nfree; ++i)
       S.at<double>(i, i) += lambda * Hdiag.at<double>(i);
 
-    cv::Mat dc;
-    if (!cv::solve(S, rhs, dc, cv::DECOMP_CHOLESKY)) break;
+    cv::Mat dc = cv::Mat::zeros(6 * nfree, 1, CV_64F);
+    if (nfree > 0 && !cv::solve(S, rhs, dc, cv::DECOMP_CHOLESKY)) break;
 
     // snapshot (LM only), apply, then accept/reject against the robust cost
     std::vector<cv::Mat> R_save, t_save, X_save;
@@ -542,10 +598,18 @@ void schur_ba(Tracker* T, const cv::Mat& K, std::vector<CamRef>& cams,
             pts.size(), err0, mean_err());
 
   if (!prune) return;
-  // outlier pruning: drop observations with gross reprojection error
+  // outlier pruning: drop observations with gross reprojection error, and
+  // CULL DEPTH MEASUREMENTS that stay inconsistent with the multi-view
+  // solution (set o.z <= 0, keeping the reprojection constraint). On splat-
+  // rendered scenes the visual corner formed by blobs at different depths
+  // moves with a virtual depth BETWEEN them — the sampled front-surface
+  // depth then fights the parallax-consistent point in every subsequent
+  // solve and biases the poses; a real sensor shows the same conflict on
+  // depth-edge corners. 3*huber_z disparity-px = persistent conflict, not
+  // noise.
   for (MapPoint* p : pts) {
     auto& mp = *p;
-    auto bad = [&](const Obs& o) {
+    auto bad = [&](Obs& o) {
       int ci = (o.kf < static_cast<int>(id2ci.size())) ? id2ci[o.kf] : -1;
       if (ci < 0) return false;
       cv::Mat Xc = *cams[ci].R * mp.X + *cams[ci].t;
@@ -553,7 +617,15 @@ void schur_ba(Tracker* T, const cv::Mat& K, std::vector<CamRef>& cams,
       if (z < 1e-6) return true;
       double u = fx * Xc.at<double>(0) / z + cx;
       double v = fy * Xc.at<double>(1) / z + cy;
-      return std::hypot(u - o.px.x, v - o.px.y) > 5.0;
+      if (std::hypot(u - o.px.x, v - o.px.y) > 5.0) return true;
+      if (o.z > 0) {
+        T->z_checked++;
+        if (std::abs(z - o.z) * fx / o.z > 1.0 * huber_z) {
+          T->z_conflict++;
+          o.z = -1.0;  // depth-vs-parallax conflict: keep pixel, drop depth
+        }
+      }
+      return false;
     };
     mp.obs.erase(std::remove_if(mp.obs.begin(), mp.obs.end(), bad),
                  mp.obs.end());
@@ -572,7 +644,27 @@ void local_ba(Tracker* T, const cv::Mat& K, int nfix, int iters = 8) {
   pts.reserve(T->mpts.size());
   for (auto& mp : T->mpts)
     if (!mp.dead && mp.obs.size() >= 2) pts.push_back(&mp);
+  // STRUCTURE-ONLY by default (RGB-D): window poses stay pinned to the
+  // dense direct odometry + complementary map anchor (see the tracking
+  // path), and the window solve refines POINTS to multi-view parallax
+  // consistency. Letting BA move poses toward the corner observations was
+  // measured to inject a systematic translation-scale bias on splat-
+  // rendered scenes (a visual corner formed by blobs at different depths
+  // moves with a virtual depth BETWEEN them): +7% drift flipped to -10% on
+  // synth_room, and the joint mode also loses on the closed-orbit dataset
+  // (0.047 -> 0.053 final ATE). A track-longevity-adaptive mode switch was
+  // tried and rejected: the per-scene track-age distributions overlap too
+  // much to discriminate. Full joint BA remains where long-range
+  // constraints make it informative — global_ba after loop closures — and
+  // SG_BA_POSES=1 forces it here. Mono always runs jointly (its two-fixed-
+  // pose scale gauge needs the joint solve).
+  if (!T->is_mono && !getenv("SG_BA_POSES"))
+    nfix = static_cast<int>(cams.size());
   schur_ba(T, K, cams, nfix, iters, pts, /*prune=*/true, /*use_lm=*/false);
+  if (getenv("SG_TRACKER_DEBUG"))
+    fprintf(stderr, "[ba] z-conflict rate %.3f (%ld/%ld)\n",
+            T->z_checked ? double(T->z_conflict) / T->z_checked : 0.0,
+            T->z_conflict, T->z_checked);
 
   // propagate refined window poses into the global registry
   for (const auto& kf : T->wkfs) {
@@ -717,6 +809,277 @@ int pose_only_optimize(const Tracker* T, const std::vector<cv::Point3f>& obj,
     *t = tw;
   }
   return n;
+}
+
+// --- dense direct pose refinement ------------------------------------------
+//
+// DVO-style coarse-to-fine photometric + geometric alignment of the current
+// RGB-D frame against the last keyframe (Kerl et al., "Robust odometry
+// estimation for RGB-D cameras"; architectural slot: the accuracy the
+// reference buys with ORB-SLAM3's octave-aware feature localization, here
+// bought with dense subpixel alignment — a better fit for this frontend
+// because the sparse stage already provides an excellent initialization and
+// outlier-free convergence basin).
+//
+// Refines the current world-to-camera pose (R, t) in place, holding the
+// keyframe pose fixed. Residuals per selected keyframe pixel p with depth z:
+//   r_I = I_cur(pi(T_rel X(p, z))) - I_kf(p)            (intensity)
+//   r_Z = [T_rel X(p, z)]_z - D_cur(pi(T_rel X(p, z)))  (depth)
+// minimized by Gauss-Newton with Huber weights; left-multiplicative se3
+// perturbation on T_rel.
+
+inline bool bilinear(const cv::Mat& img, float x, float y, float* val,
+                     float* gx = nullptr, float* gy = nullptr) {
+  int x0 = static_cast<int>(std::floor(x)), y0 = static_cast<int>(std::floor(y));
+  if (x0 < 0 || y0 < 0 || x0 + 1 >= img.cols || y0 + 1 >= img.rows)
+    return false;
+  float ax = x - x0, ay = y - y0;
+  const float* r0 = img.ptr<float>(y0);
+  const float* r1 = img.ptr<float>(y0 + 1);
+  float v00 = r0[x0], v01 = r0[x0 + 1], v10 = r1[x0], v11 = r1[x0 + 1];
+  *val = (1 - ay) * ((1 - ax) * v00 + ax * v01) +
+         ay * ((1 - ax) * v10 + ax * v11);
+  if (gx) *gx = (1 - ay) * (v01 - v00) + ay * (v11 - v10);
+  if (gy) *gy = (1 - ax) * (v10 - v00) + ax * (v11 - v01);
+  return true;
+}
+
+void build_pyramids(const cv::Mat& gray_u8, const float* depth, int w, int h,
+                    int levels, std::vector<cv::Mat>* gray_pyr,
+                    std::vector<cv::Mat>* depth_pyr) {
+  cv::Mat g;
+  gray_u8.convertTo(g, CV_32F, 1.0 / 255.0);
+  cv::Mat d(h, w, CV_32F, const_cast<float*>(depth));
+  gray_pyr->assign(1, g);
+  depth_pyr->assign(1, d.clone());
+  for (int l = 1; l < levels; ++l) {
+    cv::Mat gs, ds;
+    cv::pyrDown((*gray_pyr)[l - 1], gs);
+    // depth must NOT be gaussian-blurred across discontinuities: decimate
+    cv::resize((*depth_pyr)[l - 1], ds,
+               cv::Size(((*depth_pyr)[l - 1].cols + 1) / 2,
+                        ((*depth_pyr)[l - 1].rows + 1) / 2),
+               0, 0, cv::INTER_NEAREST);
+    gray_pyr->push_back(gs);
+    depth_pyr->push_back(ds);
+  }
+}
+
+void dense_refine(const Tracker* T, const WinKF& kf,
+                  const std::vector<cv::Mat>& cur_gray_pyr,
+                  const std::vector<cv::Mat>& cur_depth_pyr, cv::Mat* R,
+                  cv::Mat* t) {
+  if (kf.gray_pyr.empty()) return;
+  // relative pose: keyframe camera -> current camera
+  cv::Mat R_rel = (*R) * kf.R.t();
+  cv::Mat t_rel = (*t) - R_rel * kf.t;
+  const int levels = static_cast<int>(kf.gray_pyr.size());
+  const double huber_i = 0.03;   // intensity residual scale ([0,1] images)
+  const double huber_z = 0.04;   // depth residual scale (meters, tight)
+  const double wz = getenv("SG_DENSE_WZ") ? atof(getenv("SG_DENSE_WZ")) : 0.6;  // weight of the depth term vs intensity
+  for (int l = levels - 1; l >= 0; --l) {
+    const cv::Mat& Ik = kf.gray_pyr[l];
+    const cv::Mat& Dk = kf.depth_pyr[l];
+    const cv::Mat& Ic = cur_gray_pyr[l];
+    const cv::Mat& Dc = cur_depth_pyr[l];
+    const double s = 1.0 / (1 << l);
+    const double fx = T->fx * s, fy = T->fy * s;
+    const double cx = T->cx * s, cy = T->cy * s;
+    // pixel selection: every stride-th pixel with valid depth + gradient
+    const int stride = (l == 0) ? 3 : 2;
+    // the depth-discontinuity gate scales with level (decimated depth is
+    // lumpier); if a level has too little signal, skip IT, not the rest
+    const double zgate = 0.05 * (1 << l);
+    bool level_ok = true;
+    for (int it = 0; it < 10 && level_ok; ++it) {
+      double H[21] = {0};  // upper triangle of 6x6
+      double b[6] = {0};
+      double cost = 0;
+      int n = 0;
+      const double r00 = R_rel.at<double>(0, 0), r01 = R_rel.at<double>(0, 1),
+                   r02 = R_rel.at<double>(0, 2), r10 = R_rel.at<double>(1, 0),
+                   r11 = R_rel.at<double>(1, 1), r12 = R_rel.at<double>(1, 2),
+                   r20 = R_rel.at<double>(2, 0), r21 = R_rel.at<double>(2, 1),
+                   r22 = R_rel.at<double>(2, 2);
+      const double tx = t_rel.at<double>(0), ty = t_rel.at<double>(1),
+                   tz = t_rel.at<double>(2);
+      for (int v = 2; v < Ik.rows - 2; v += stride) {
+        const float* drow = Dk.ptr<float>(v);
+        const float* drow_m = Dk.ptr<float>(v - 1);
+        const float* drow_p = Dk.ptr<float>(v + 1);
+        const float* irow = Ik.ptr<float>(v);
+        for (int u = 2; u < Ik.cols - 2; u += stride) {
+          const double z = drow[u];
+          if (z <= T->min_depth || z > T->max_depth) continue;
+          // depth-discontinuity gate: at occlusion boundaries the rendered/
+          // measured depth straddles fore/background while the intensity
+          // edge moves with the foreground — aligning such pixels injects a
+          // systematic translation bias (measured +7%% of the displacement
+          // on the synthetic room). Same rationale as sample_depth's gate.
+          const float zm = std::min(std::min(drow[u - 1], drow[u + 1]),
+                                    std::min(drow_m[u], drow_p[u]));
+          const float zM = std::max(std::max(drow[u - 1], drow[u + 1]),
+                                    std::max(drow_m[u], drow_p[u]));
+          if (zm <= T->min_depth || (zM - zm) > zgate * z) continue;
+          // cheap gradient gate on the keyframe image
+          const float gix = irow[u + 1] - irow[u - 1];
+          const float giy = Ik.at<float>(v + 1, u) - Ik.at<float>(v - 1, u);
+          if (gix * gix + giy * giy < 1e-4f) continue;
+          const double X = (u - cx) / fx * z, Y = (v - cy) / fy * z;
+          const double Xc = r00 * X + r01 * Y + r02 * z + tx;
+          const double Yc = r10 * X + r11 * Y + r12 * z + ty;
+          const double Zc = r20 * X + r21 * Y + r22 * z + tz;
+          if (Zc < 1e-3) continue;
+          const float uc = static_cast<float>(fx * Xc / Zc + cx);
+          const float vc = static_cast<float>(fy * Yc / Zc + cy);
+          float ic, gx, gy;
+          if (!bilinear(Ic, uc, vc, &ic, &gx, &gy)) continue;
+          const double r_i = ic - irow[u];
+          // image-gradient chain rule: d(uc)/dX_c etc.
+          const double iz = 1.0 / Zc;
+          const double gfx = gx * fx * iz, gfy = gy * fy * iz;
+          // J_geo rows: d X_c / d xi = [I | -[X_c]_x] (left perturbation)
+          // J_I = [gfx, gfy, -(gfx*Xc+gfy*Yc)*iz] * [I | -[X_c]_x]
+          const double jx = gfx, jy = gfy, jz = -(gfx * Xc + gfy * Yc) * iz;
+          // rotational block: jvec . (-[X_c]_x), expanded per column
+          double Ji[6] = {
+              jx, jy, jz,
+              -jy * Zc + jz * Yc,
+              jx * Zc - jz * Xc,
+              -jx * Yc + jy * Xc,
+          };
+          double wi = 1.0;
+          const double ari = std::abs(r_i);
+          if (ari > huber_i) wi = huber_i / ari;
+          cost += wi * r_i * r_i;
+          // accumulate intensity block
+          {
+            int idx = 0;
+            for (int a = 0; a < 6; ++a) {
+              b[a] += wi * Ji[a] * r_i;
+              for (int c = a; c < 6; ++c) H[idx++] += wi * Ji[a] * Ji[c];
+            }
+          }
+          // depth residual (geometric term)
+          float dc, dgx, dgy;
+          if (!getenv("SG_ABL_DENSE_NO_Z") &&
+              bilinear(Dc, uc, vc, &dc, &dgx, &dgy) && dc > T->min_depth &&
+              dc < T->max_depth) {
+            const double r_z = Zc - dc;
+            if (std::abs(r_z) < 0.5) {  // occlusion gate
+              // J_z = e_z^T [I | -[Xc]_x] - grad(Dc) * dpi/dXc
+              const double dfx = dgx * fx * iz, dfy = dgy * fy * iz;
+              const double kx = -dfx, ky = -dfy,
+                           kz = 1.0 + (dfx * Xc + dfy * Yc) * iz;
+              double Jz[6] = {
+                  kx, ky, kz,
+                  -ky * Zc + kz * Yc,
+                  kx * Zc - kz * Xc,
+                  -kx * Yc + ky * Xc,
+              };
+              double wzh = wz;
+              const double arz = std::abs(r_z);
+              if (arz > huber_z) wzh *= huber_z / arz;
+              cost += wzh * r_z * r_z;
+              int idx = 0;
+              for (int a = 0; a < 6; ++a) {
+                b[a] += wzh * Jz[a] * r_z;
+                for (int c = a; c < 6; ++c) H[idx++] += wzh * Jz[a] * Jz[c];
+              }
+            }
+          }
+          ++n;
+        }
+      }
+      if (n < 200) {  // not enough signal at this level: try the next
+        level_ok = false;
+        break;
+      }
+      // solve H xi = -b (expand upper triangle)
+      cv::Mat Hm(6, 6, CV_64F), bm(6, 1, CV_64F);
+      {
+        int idx = 0;
+        for (int a = 0; a < 6; ++a)
+          for (int c = a; c < 6; ++c) {
+            Hm.at<double>(a, c) = H[idx];
+            Hm.at<double>(c, a) = H[idx];
+            ++idx;
+          }
+        for (int a = 0; a < 6; ++a) {
+          bm.at<double>(a) = -b[a];
+          Hm.at<double>(a, a) *= 1.0 + 1e-4;  // mild LM damping
+        }
+      }
+      cv::Mat xi;
+      if (!cv::solve(Hm, bm, xi, cv::DECOMP_CHOLESKY)) return;
+      // apply left-multiplicative update to T_rel
+      cv::Mat wv = (cv::Mat_<double>(3, 1) << xi.at<double>(3),
+                    xi.at<double>(4), xi.at<double>(5));
+      cv::Mat dR;
+      cv::Rodrigues(wv, dR);
+      cv::Mat dt = (cv::Mat_<double>(3, 1) << xi.at<double>(0),
+                    xi.at<double>(1), xi.at<double>(2));
+      t_rel = dR * t_rel + dt;
+      R_rel = dR * R_rel;
+      if (cv::norm(xi) < 1e-6) break;
+    }
+  }
+  // guard: dense refinement must stay near the sparse estimate (it refines,
+  // never re-estimates); reject divergence
+  cv::Mat R_new = R_rel * kf.R;
+  cv::Mat t_new = R_rel * kf.t + t_rel;
+  cv::Mat c_old = -(*R).t() * (*t);
+  cv::Mat c_new = -R_new.t() * t_new;
+  cv::Mat dRg = R_new * (*R).t();
+  if (cv::norm(c_new - c_old) > 0.10 || rotation_angle_deg(dRg) > 4.0) return;
+  *R = R_new;
+  *t = t_new;
+}
+
+// Symmetric dense refinement: run the alignment in BOTH directions and
+// average. The residual bias of one-directional alignment is driven by the
+// reference frame's depth errors (blended splat depth sits slightly behind
+// the intensity-dominant surface), which overestimates the relative
+// translation by a few percent; the reverse direction underestimates it by
+// the same first-order amount, so the se3 midpoint cancels the bias
+// (measured: +6.9% translation-scale drift -> ~1% on synth_room).
+void dense_refine_sym(const Tracker* T, const WinKF& kf,
+                      const std::vector<cv::Mat>& cur_gray_pyr,
+                      const std::vector<cv::Mat>& cur_depth_pyr, cv::Mat* R,
+                      cv::Mat* t) {
+  cv::Mat R_f = R->clone(), t_f = t->clone();
+  dense_refine(T, kf, cur_gray_pyr, cur_depth_pyr, &R_f, &t_f);
+
+  // reverse: hold the (forward-refined) current pose, optimize a virtual
+  // pose for the keyframe image against the current frame's pyramids
+  WinKF cur_ref;
+  cur_ref.id = -1;
+  cur_ref.R = R_f.clone();
+  cur_ref.t = t_f.clone();
+  cur_ref.gray_pyr = cur_gray_pyr;
+  cur_ref.depth_pyr = cur_depth_pyr;
+  cv::Mat R_kfv = kf.R.clone(), t_kfv = kf.t.clone();
+  dense_refine(T, cur_ref, kf.gray_pyr, kf.depth_pyr, &R_kfv, &t_kfv);
+  // implied current pose from the reverse relative transform and the TRUE
+  // keyframe pose: T_cur_implied = T_rel_rev^{-1} * T_kf
+  cv::Mat R_rel = R_kfv * R_f.t();
+  cv::Mat t_rel = t_kfv - R_rel * t_f;
+  cv::Mat R_ci = R_rel.t() * kf.R;
+  cv::Mat t_ci = R_rel.t() * (kf.t - t_rel);
+
+  // se3 midpoint: average camera centers; rotation halfway along the
+  // geodesic from R_f to R_ci
+  cv::Mat c_f = -R_f.t() * t_f;
+  cv::Mat c_i = -R_ci.t() * t_ci;
+  cv::Mat c_m = 0.5 * (c_f + c_i);
+  cv::Mat dRm = R_ci * R_f.t();
+  cv::Mat rv;
+  cv::Rodrigues(dRm, rv);
+  cv::Mat half;
+  cv::Rodrigues(0.5 * rv, half);
+  cv::Mat R_m = half * R_f;
+  *R = R_m;
+  *t = -R_m * c_m;
 }
 
 // --- loop closing ---------------------------------------------------------
@@ -988,6 +1351,7 @@ bool try_relocalize(Tracker* T, const cv::Mat& K,
             cand.pts_w[r].z);
     mp.desc = cand.desc.row(static_cast<int>(r)).clone();
     mp.last_kf = cand.id;
+    mp.born = frame_no;
     mp.last_seen_frame = frame_no;
     T->mpts.push_back(std::move(mp));
   }
@@ -1042,6 +1406,59 @@ void fill_global_kf(Tracker* T, GlobalKF* g,
 
 extern "C" {
 
+// Feed one IMU sample (body frame; dt = seconds covered by this sample).
+// Samples accumulate into the preintegrated delta since the last ACCEPTED
+// frame; track()/track_mono() consume and reset it.
+void sg_tracker_feed_imu(void* handle, double dt, const double* gyro,
+                         const double* accel) {
+  auto* T = static_cast<Tracker*>(handle);
+  cv::Mat a = (cv::Mat_<double>(3, 1) << accel[0], accel[1], accel[2]);
+  cv::Mat Ra = T->imu_dR * a;
+  T->imu_dp += T->imu_dv * dt + 0.5 * Ra * dt * dt;
+  T->imu_dv += Ra * dt;
+  cv::Mat wv = (cv::Mat_<double>(3, 1) << gyro[0] * dt, gyro[1] * dt,
+                gyro[2] * dt);
+  cv::Mat dR;
+  cv::Rodrigues(wv, dR);
+  T->imu_dR = T->imu_dR * dR;
+  T->imu_dt_sum += dt;
+  T->has_imu = true;
+}
+
+// Read the current preintegrated delta (row-major dR, then dv, dp) — test
+// and diagnostics hook.
+void sg_tracker_imu_delta(void* handle, double* dR9, double* dv3,
+                          double* dp3) {
+  auto* T = static_cast<Tracker*>(handle);
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 3; ++c) dR9[r * 3 + c] = T->imu_dR.at<double>(r, c);
+  for (int i = 0; i < 3; ++i) {
+    dv3[i] = T->imu_dv.at<double>(i);
+    dp3[i] = T->imu_dp.at<double>(i);
+  }
+}
+
+void sg_tracker_set_gravity(void* handle, const double* g3) {
+  auto* T = static_cast<Tracker*>(handle);
+  T->gravity_w = (cv::Mat_<double>(3, 1) << g3[0], g3[1], g3[2]);
+}
+
+// Diagnostic hook (effective only with SG_ABL_FORCE_GT=1): supply the
+// ground-truth world-to-camera pose (tx ty tz qw qx qy qz) for the NEXT
+// track() call. pose_out still reports the raw estimate; internal state
+// (map, keyframes, velocity) adopts the truth — isolating single-step
+// estimator bias from closed-loop feedback drift.
+void sg_tracker_set_gt_hint(void* handle, const double* pose7) {
+  auto* T = static_cast<Tracker*>(handle);
+  double w = pose7[3], x = pose7[4], y = pose7[5], z = pose7[6];
+  T->gt_R = (cv::Mat_<double>(3, 3) <<
+             1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+             2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+             2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y));
+  T->gt_t = (cv::Mat_<double>(3, 1) << pose7[0], pose7[1], pose7[2]);
+  T->has_gt_hint = true;
+}
+
 void* sg_tracker_create(double fx, double fy, double cx, double cy,
                         int n_features) {
   auto* T = new Tracker();
@@ -1075,6 +1492,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   std::vector<cv::KeyPoint> kps;
   cv::Mat desc;
   T->orb->detectAndCompute(img, cv::noArray(), kps, desc);
+  refine_subpixel(img, kps);
 
   cv::Mat K = (cv::Mat_<double>(3, 3) << T->fx, 0, T->cx, 0, T->fy, T->cy,
                0, 0, 1);
@@ -1117,6 +1535,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
       mp.obs.push_back(
           {kf_id, kps[i].pt, static_cast<double>(z), octave_sigma(kps[i])});
       mp.last_kf = kf_id;
+      mp.born = frame_no;
       mp.last_seen_frame = frame_no;
       T->mpts.push_back(std::move(mp));
     }
@@ -1127,6 +1546,8 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     kf.t = t.clone();
     kf.kps = kps;
     kf.desc = desc.clone();
+    build_pyramids(img, depth, w, h, /*levels=*/3, &kf.gray_pyr,
+                   &kf.depth_pyr);
     T->wkfs.push_back(std::move(kf));
     while (T->wkfs.size() > T->window) T->wkfs.pop_front();
     T->frames_since_kf = 0;
@@ -1141,10 +1562,12 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     fill_global_kf(T, &g, kps, desc, depth, w, h, R, t);
     T->gkfs.push_back(std::move(g));
 
-    local_ba(T, K, /*nfix=*/1);
-    // adopt the BA-refined newest pose
-    T->R_cur = T->wkfs.back().R.clone();
-    T->t_cur = T->wkfs.back().t.clone();
+    if (!getenv("SG_ABL_NO_LBA")) {
+      local_ba(T, K, /*nfix=*/1);
+      // adopt the BA-refined newest pose
+      T->R_cur = T->wkfs.back().R.clone();
+      T->t_cur = T->wkfs.back().t.clone();
+    }
 
     if (T->gba_every > 0 && ++T->kfs_since_gba >= T->gba_every &&
         static_cast<int>(T->gkfs.size()) <= T->gba_max_kfs) {
@@ -1156,16 +1579,32 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   };
 
   if (T->gkfs.empty()) {  // bootstrap: first frame = origin + first keyframe
+    if (T->has_gt_hint && getenv("SG_ABL_FORCE_GT")) {
+      T->R_cur = T->gt_R.clone();
+      T->t_cur = T->gt_t.clone();
+      T->has_gt_hint = false;
+    }
     make_kf(T->R_cur, T->t_cur, nullptr, nullptr);
     write_pose7(T->R_cur, T->t_cur, pose_out);
     *n_inliers_out = static_cast<int>(kps.size());
     return 1;
   }
 
-  // constant-velocity prediction: project map points and seed PnP from the
-  // extrapolated pose, not the last pose (Tracking.cc TrackWithMotionModel)
+  // motion prediction: IMU preintegration when samples were fed
+  // (Tracking.cc PredictStateIMU), else the constant-velocity model
+  // (TrackWithMotionModel) — project map points and seed PnP from the
+  // extrapolated pose, not the last pose
   cv::Mat R_prior = T->R_cur.clone(), t_prior = T->t_cur.clone();
-  if (T->have_vel) {
+  if (T->has_imu && T->imu_dt_sum > 0.0) {
+    const double dti = T->imu_dt_sum;
+    cv::Mat R_wb_prev = T->R_cur.t();
+    cv::Mat c_prev = -T->R_cur.t() * T->t_cur;
+    cv::Mat c_pred = c_prev + R_wb_prev * T->imu_dp +
+                     0.5 * T->gravity_w * dti * dti;
+    if (T->have_v_w) c_pred += T->v_w * dti;
+    R_prior = (R_wb_prev * T->imu_dR).t();
+    t_prior = -R_prior * c_pred;
+  } else if (T->have_vel) {
     R_prior = T->R_vel * T->R_cur;
     t_prior = T->R_vel * T->t_cur + T->t_vel;
   }
@@ -1313,8 +1752,9 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     std::vector<double> zmeas(obj.size(), -1.0);
     std::vector<double> sigma(obj.size(), 1.0);
     for (size_t i = 0; i < obj.size(); ++i) {
-      zmeas[i] = sample_depth(depth, w, h, scene[i].x, scene[i].y,
-                              T->min_depth, T->max_depth);
+      if (!getenv("SG_ABL_NO_POSEDEPTH"))  // ablation/debug switch
+        zmeas[i] = sample_depth(depth, w, h, scene[i].x, scene[i].y,
+                                T->min_depth, T->max_depth);
       sigma[i] = std::pow(1.2, std::max(0, kps[match_row[i]].octave));
     }
     int n = pose_only_optimize(T, obj, scene, zmeas, sigma, &inl, &R, &t);
@@ -1327,6 +1767,79 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
         if (inl[i]) inliers.push_back(static_cast<int>(i));
     }
   }
+  if (!getenv("SG_ABL_NO_DENSE")) {
+    // dense direct refinement against an anchor keyframe: subpixel accuracy
+    // the sparse features cannot reach (the convergence basin is secured
+    // by the sparse pose this starts from)
+    std::vector<cv::Mat> cg, cd;
+    build_pyramids(img, depth, w, h, /*levels=*/3, &cg, &cd);
+    if (T->has_gt_hint && getenv("SG_ABL_DENSE_GT_START")) {
+      R = T->gt_R.clone();  // diagnostic: measure the dense equilibrium
+      t = T->gt_t.clone();  // displacement from a perfect start
+    }
+    // anchor selection (DVO-SLAM style): align against the OLDEST window
+    // keyframe still overlapping the predicted view. The residual per-
+    // alignment bias is roughly constant (~0.3 px systematic), so drift
+    // grows with the NUMBER of anchor hops, not with distance — long
+    // anchor spans cut it proportionally (the fast-KF orbit regime makes
+    // a keyframe every ~2 frames; anchoring to the newest KF there turned
+    // a 1 mm/hop bias into 0.3 m of accumulated drift).
+    const WinKF* anchor = &T->wkfs.back();
+    cv::Mat c_cur_est = -R.t() * t;
+    for (const auto& wkf : T->wkfs) {  // deque is ordered oldest -> newest
+      if (wkf.gray_pyr.empty()) continue;
+      cv::Mat dRa = R * wkf.R.t();
+      cv::Mat c_kf = -wkf.R.t() * wkf.t;
+      if (rotation_angle_deg(dRa) < 8.0 &&
+          cv::norm(c_kf - c_cur_est) < 0.15) {
+        anchor = &wkf;
+        break;
+      }
+    }
+    dense_refine_sym(T, *anchor, cg, cd, &R, &t);
+
+    // complementary anchor: dense KF-to-frame odometry is the accurate
+    // high-frequency estimate but accumulates a small per-hop translation
+    // bias; the map-absolute pose-only solve is noisier per frame but does
+    // NOT accumulate. Re-run it seeded at the dense pose and blend a small
+    // fraction — the stationary drift becomes bounded (per-hop bias / alpha)
+    // instead of growing linearly with keyframe count.
+    const double alpha = getenv("SG_PO_BLEND")
+                             ? atof(getenv("SG_PO_BLEND")) : 0.25;
+    if (alpha > 0.0) {
+      std::vector<char> inl2(obj.size(), 0);
+      for (int idx : inliers) inl2[idx] = 1;
+      std::vector<double> zmeas2(obj.size(), -1.0);
+      std::vector<double> sigma2(obj.size(), 1.0);
+      for (size_t i = 0; i < obj.size(); ++i) {
+        zmeas2[i] = sample_depth(depth, w, h, scene[i].x, scene[i].y,
+                                 T->min_depth, T->max_depth);
+        sigma2[i] = std::pow(1.2, std::max(0, kps[match_row[i]].octave));
+      }
+      cv::Mat R_po = R.clone(), t_po = t.clone();
+      int n2 = pose_only_optimize(T, obj, scene, zmeas2, sigma2, &inl2,
+                                  &R_po, &t_po);
+      cv::Mat c_d = -R.t() * t;
+      cv::Mat c_p = -R_po.t() * t_po;
+      if (n2 >= 20 && cv::norm(c_p - c_d) < 0.06) {
+        cv::Mat c_b = (1.0 - alpha) * c_d + alpha * c_p;
+        cv::Mat dRb = R_po * R.t();
+        cv::Mat rvb;
+        cv::Rodrigues(dRb, rvb);
+        cv::Mat Rb;
+        cv::Rodrigues(alpha * rvb, Rb);
+        R = Rb * R;
+        t = -R * c_b;
+      }
+    }
+  }
+  cv::Mat R_est = R.clone(), t_est = t.clone();  // raw per-frame estimate
+  const bool force_gt = T->has_gt_hint && getenv("SG_ABL_FORCE_GT");
+  if (force_gt) {
+    R = T->gt_R.clone();
+    t = T->gt_t.clone();
+  }
+  T->has_gt_hint = false;
   {  // pose-jump gate (RANSAC snapped to a wrong consensus set)
     cv::Mat c_new = -R.t() * t;
     cv::Mat c_old = -T->R_cur.t() * T->t_cur;
@@ -1358,15 +1871,122 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   T->R_vel = R * T->R_cur.t();
   T->t_vel = t - T->R_vel * T->t_cur;
   T->have_vel = true;
+  if (T->has_imu && T->imu_dt_sum > 0.0) {
+    // vision-derived world velocity (self-correcting; avoids accel-bias
+    // random walk), consumed by the next IMU prediction
+    cv::Mat c_prev = -T->R_cur.t() * T->t_cur;
+    cv::Mat c_new = -R.t() * t;
+    T->v_w = (c_new - c_prev) / T->imu_dt_sum;
+    T->have_v_w = true;
+    T->imu_dR = cv::Mat::eye(3, 3, CV_64F);
+    T->imu_dv = cv::Mat::zeros(3, 1, CV_64F);
+    T->imu_dp = cv::Mat::zeros(3, 1, CV_64F);
+    T->imu_dt_sum = 0.0;
+    T->has_imu = false;
+  }
   T->R_cur = R;
   T->t_cur = t;
   T->frames_since_kf++;
-  write_pose7(R, t, pose_out);
+  write_pose7(R_est, t_est, pose_out);
   *n_inliers_out = static_cast<int>(inliers.size());
   for (int idx : inliers) {
     auto& mp = T->mpts[match_mp[idx]];
     mp.last_seen_frame = frame_no;
     mp.desc = desc.row(match_row[idx]).clone();  // keep descriptors fresh
+  }
+
+  // Covisibility local map (reference architecture: ORB-SLAM3
+  // Tracking.cc TrackLocalMap + KeyFrame covisibility graph). The live map
+  // is temporal (last-60-frames); on a revisit the old structure has been
+  // retired to `arch`, so drift accumulates against a *fresh* copy of the
+  // scene instead of snapping back to the original points. Here: inlier
+  // observations vote for the keyframes that also observed them; when old
+  // (out-of-window) keyframes collect enough votes, their archived points
+  // are re-projected under the accepted pose, matched in a tight radius,
+  // and resurrected into the live map — and appended to this frame's
+  // inlier set so the next keyframe records observations of the ORIGINAL
+  // points, giving BA a direct old-to-new constraint without waiting for
+  // a loop closure.
+  {
+    std::map<int, int> votes;  // kf id -> #inlier points it observed
+    for (int idx : inliers)
+      for (const auto& ob : T->mpts[match_mp[idx]].obs) votes[ob.kf]++;
+    std::set<int> win_ids;
+    for (const auto& wk : T->wkfs) win_ids.insert(wk.id);
+    std::set<int> covis_old;
+    for (const auto& kv : votes)
+      if (kv.second >= 5 && !win_ids.count(kv.first)) covis_old.insert(kv.first);
+    if (!covis_old.empty() && !T->arch.empty()) {
+      std::vector<bool> row_used(kps.size(), false);
+      for (int idx : inliers) row_used[match_row[idx]] = true;
+      std::vector<size_t> resurrect;
+      int budget = 2000;  // bound per-frame projection work
+      for (size_t ai = 0; ai < T->arch.size() && budget > 0; ++ai) {
+        const auto& mp = T->arch[ai];
+        if (mp.dead || !covis_old.count(mp.last_kf)) continue;
+        --budget;
+        cv::Mat Xc = R * mp.X + t;
+        double z = Xc.at<double>(2);
+        if (z < 1e-3) continue;
+        float u = static_cast<float>(T->fx * Xc.at<double>(0) / z + T->cx);
+        float v = static_cast<float>(T->fy * Xc.at<double>(1) / z + T->cy);
+        if (u < 0 || u >= w || v < 0 || v >= h) continue;
+        const double radius = 7.0;
+        int cu = static_cast<int>(u) / cell, cv_ = static_cast<int>(v) / cell;
+        int best = 51, best_row = -1;
+        for (int dy = -1; dy <= 1; ++dy)
+          for (int dx = -1; dx <= 1; ++dx) {
+            int gx = cu + dx, gy = cv_ + dy;
+            if (gx < 0 || gx >= gw || gy < 0 || gy >= gh) continue;
+            for (int k : kp_grid[gy * gw + gx]) {
+              if (row_used[k]) continue;
+              if (std::abs(kps[k].pt.x - u) > radius ||
+                  std::abs(kps[k].pt.y - v) > radius)
+                continue;
+              int d = static_cast<int>(
+                  cv::norm(mp.desc, desc.row(k), cv::NORM_HAMMING));
+              if (d < best) {
+                best = d;
+                best_row = k;
+              }
+            }
+          }
+        if (best_row < 0) continue;
+        // depth consistency when the sensor sees the point (rules out
+        // matching an occluder in front of the archived point)
+        double zm = sample_depth(depth, w, h, kps[best_row].pt.x,
+                                 kps[best_row].pt.y, T->min_depth,
+                                 T->max_depth);
+        if (zm > 0 && std::abs(zm - z) > 0.10 * zm) continue;
+        row_used[best_row] = true;
+        resurrect.push_back(ai);
+        // append to this frame's match/inlier set so make_kf records an
+        // observation of the ORIGINAL archived point
+        obj.push_back(cv::Point3f(static_cast<float>(mp.X.at<double>(0)),
+                                  static_cast<float>(mp.X.at<double>(1)),
+                                  static_cast<float>(mp.X.at<double>(2))));
+        scene.push_back(kps[best_row].pt);
+        match_mp.push_back(static_cast<int>(T->mpts.size() + resurrect.size()) - 1);
+        match_row.push_back(best_row);
+        inliers.push_back(static_cast<int>(obj.size()) - 1);
+      }
+      if (!resurrect.empty()) {
+        if (getenv("SG_TRACKER_DEBUG"))
+          fprintf(stderr, "[rgbd] f=%d covis harvest: %zu resurrected from %zu old kfs\n",
+                  frame_no, resurrect.size(), covis_old.size());
+        std::vector<bool> moved(T->arch.size(), false);
+        for (size_t ai : resurrect) {
+          moved[ai] = true;
+          T->arch[ai].last_seen_frame = frame_no;
+          T->mpts.push_back(std::move(T->arch[ai]));
+        }
+        std::vector<MapPoint> kept;
+        kept.reserve(T->arch.size() - resurrect.size());
+        for (size_t ai = 0; ai < T->arch.size(); ++ai)
+          if (!moved[ai]) kept.push_back(std::move(T->arch[ai]));
+        T->arch = std::move(kept);
+      }
+    }
   }
 
   // keyframe policy: displacement vs the LAST keyframe
@@ -1388,7 +2008,8 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
       inl_row.push_back(match_row[idx]);
     }
     make_kf(R, t, &inl_mp, &inl_row);
-    write_pose7(T->R_cur, T->t_cur, pose_out);  // post-BA pose
+    if (!force_gt)  // diagnostic mode: pose_out keeps the raw estimate
+      write_pose7(T->R_cur, T->t_cur, pose_out);  // post-BA pose
     return 1;
   }
   return 0;
@@ -1415,6 +2036,7 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
   std::vector<cv::KeyPoint> kps;
   cv::Mat desc;
   T->orb->detectAndCompute(img, cv::noArray(), kps, desc);
+  refine_subpixel(img, kps);
 
   cv::Mat K = (cv::Mat_<double>(3, 3) << T->fx, 0, T->cx, 0, T->fy, T->cy,
                0, 0, 1);
@@ -1604,11 +2226,24 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     return -1;
   }
 
-  // constant-velocity prediction (Tracking.cc TrackWithMotionModel)
+  // constant-velocity prediction (Tracking.cc TrackWithMotionModel); with
+  // IMU, the gyro gives an exact rotation prediction — translation keeps
+  // the velocity model because the mono map scale is not metric, so the
+  // metric IMU dp cannot be applied to it directly
   cv::Mat R_prior = T->R_cur.clone(), t_prior = T->t_cur.clone();
   if (T->have_vel) {
     R_prior = T->R_vel * T->R_cur;
     t_prior = T->R_vel * T->t_cur + T->t_vel;
+  }
+  if (T->has_imu && T->imu_dt_sum > 0.0) {
+    cv::Mat c_pred = -R_prior.t() * t_prior;  // keep predicted center
+    R_prior = (T->R_cur.t() * T->imu_dR).t();
+    t_prior = -R_prior * c_pred;
+    T->imu_dR = cv::Mat::eye(3, 3, CV_64F);
+    T->imu_dv = cv::Mat::zeros(3, 1, CV_64F);
+    T->imu_dp = cv::Mat::zeros(3, 1, CV_64F);
+    T->imu_dt_sum = 0.0;
+    T->has_imu = false;
   }
 
   std::vector<cv::Point3f> obj;

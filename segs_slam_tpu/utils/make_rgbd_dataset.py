@@ -69,6 +69,12 @@ def main(argv=None):
     p.add_argument("--gaussians", type=int, default=8000)
     p.add_argument("--loop", action="store_true",
                    help="closed-orbit trajectory for loop-closure testing")
+    p.add_argument("--imu", action="store_true",
+                   help="derive a 200 Hz IMU stream (imu.txt) from the "
+                        "trajectory (reference analogue: the inertial entry "
+                        "points; see utils/make_imu.py)")
+    p.add_argument("--imu-rate", type=float, default=200.0)
+    p.add_argument("--cam-fps", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -105,7 +111,7 @@ def main(argv=None):
         colors = np.concatenate([colors, fcol])
         scales = np.concatenate([scales, fscale])
         quats = np.concatenate([quats, fquat])
-        opac = np.concatenate([opac, np.full(n_front, 0.9, np.float32)])
+        opac = np.concatenate([opac, np.full(n_front, 0.995, np.float32)])
     # near-opaque surfaces: with semi-transparent gaussians the alpha-blended
     # depth mixes fore/background view-DEPENDENTLY (measured ~11% cross-view
     # inconsistency), which poisons RGB-D tracking and densification; with
@@ -152,6 +158,15 @@ def main(argv=None):
 
     (out / "traj.txt").write_text("\n".join(traj_rows) + "\n")
     print(f"wrote {args.frames} RGB-D frames to {out}")
+
+    if args.imu:
+        from segs_slam_tpu.utils.make_imu import derive_imu, write_imu_txt
+
+        times, gyro, accel = derive_imu(
+            poses, cam_fps=args.cam_fps, imu_rate=args.imu_rate,
+            gyro_noise=2e-4, accel_noise=2e-3, seed=args.seed)
+        write_imu_txt(out / "imu.txt", times, gyro, accel)
+        print(f"wrote {len(times)} IMU samples to {out / 'imu.txt'}")
 
 
 if __name__ == "__main__":

@@ -128,7 +128,7 @@ def test_tracker_pose_export_apis():
     assert n_kf >= 2
 
     ids, fnos, poses = tracker.window_poses()
-    assert len(ids) == min(n_kf, 5)
+    assert len(ids) == min(n_kf, 10)  # tracker BA window is 10 keyframes
     assert poses.shape == (len(ids), 7)
     # quaternions are normalized
     np.testing.assert_allclose(np.linalg.norm(poses[:, 3:7], axis=1), 1.0,
