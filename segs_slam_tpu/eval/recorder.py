@@ -41,26 +41,33 @@ def record_all_keyframes(trainer, out_dir: str | Path,
     (out / "ground_truth").mkdir(parents=True, exist_ok=True)
 
     render_ms, psnrs, dssims, psnr_gs = [], [], [], []
-    # warm the fused render+metrics jit so compile time never pollutes FPS
-    first = next(iter(trainer.scene.keyframes.values()), None)
-    if first is not None:
-        jax.block_until_ready(trainer.render_and_measure_keyframe(first))
-
-    # Pipelined evaluation: dispatch every keyframe's fused render+metrics
-    # call back-to-back, sync once, and attribute wall-clock / n_frames to
-    # each frame. The reference times each frame around an explicit device
-    # sync (src/gaussian_mapper.cpp:1782-1808) — equivalent on locally
-    # attached CUDA where sync costs ~us; here a single-call sync pays ~4x
-    # the actual kernel time in runtime latency that back-to-back dispatch
-    # hides, so throughput timing is the faithful TPU analogue.
     items = sorted(trainer.scene.keyframes.items())
-    outputs = []
-    t0 = time.perf_counter()
-    for kid, kf in items:
-        outputs.append(trainer.render_and_measure_keyframe(kf))
+
+    # RENDER TIMING measures pure rendering, like the reference: the
+    # reference's render_time.txt clocks ONLY the forward render around a
+    # device sync (src/gaussian_mapper.cpp:1782-1808); PSNR etc. are
+    # computed outside the timed region. Camera inputs are staged on device
+    # first so host-side prep and gt-image transfers never pollute the
+    # number; dispatches are pipelined back-to-back with one sync
+    # (throughput timing — the faithful TPU analogue; the per-frame-sync
+    # alternative pays the host round-trip per frame and is reported in the
+    # docs, not here).
+    chain = trainer._eval_render()
+    cams = [trainer.refined_cam(kf) for _, kf in items]
+    if cams:  # warm the chained jits outside the timed region
+        jax.block_until_ready(
+            chain(trainer.state.anchors, trainer.state.decoders, cams[0]))
+        t0 = time.perf_counter()
+        imgs = [chain(trainer.state.anchors, trainer.state.decoders, c)
+                for c in cams]
+        jax.block_until_ready(imgs)
+        per_frame_ms = (time.perf_counter() - t0) * 1000.0 / len(cams)
+    else:
+        per_frame_ms = 0.0
+
+    # metrics pass (untimed): fused render+metrics per keyframe
+    outputs = [trainer.render_and_measure_keyframe(kf) for _, kf in items]
     jax.block_until_ready(outputs)
-    wall_ms = (time.perf_counter() - t0) * 1000.0
-    per_frame_ms = wall_ms / max(len(items), 1)
 
     for (kid, kf), (img_m, p, s, pg) in zip(items, outputs):
         render_ms.append(per_frame_ms)
@@ -140,11 +147,16 @@ def record_all_frames(trainer, out_dir: str | Path, frames, est_poses,
         gt_dir.mkdir(exist_ok=True)
 
     fn = trainer._eval_render_metrics()
+    chain = trainer._eval_render()
 
-    def _inputs(fr, pose):
+    def _cam(pose):
         quat, trans = pose
         kf = Keyframe(kf_id=0, camera=camera, quat=quat, trans=trans)
-        cam = {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
+        return {k: jnp.asarray(np.asarray(v, np.float32))
+                for k, v in kf.render_inputs().items()}
+
+    def _inputs(fr, pose):
+        cam = _cam(pose)
         img = fr.load_rgb()
         if img.shape[0] != 3:
             img = np.transpose(img, (2, 0, 1))
@@ -153,7 +165,7 @@ def record_all_frames(trainer, out_dir: str | Path, frames, est_poses,
     idxs = [i for i, p in enumerate(est_poses[: len(frames)])
             if p is not None]
     psnrs, dssims, psnr_gs, render_ms, rows = [], [], [], [], []
-    # warm the jit outside the timed region
+    # warm the jits outside any timed region
     if idxs:
         cam, gt = _inputs(frames[idxs[0]], est_poses[idxs[0]])
         jax.block_until_ready(
@@ -162,11 +174,16 @@ def record_all_frames(trainer, out_dir: str | Path, frames, est_poses,
     for b0 in range(0, len(idxs), batch):
         chunk = idxs[b0 : b0 + batch]
         inputs = [_inputs(frames[i], est_poses[i]) for i in chunk]
+        # pure-render timing (reference render_time semantics: forward
+        # render only, gt transfer + metrics outside the clock)
         t0 = time.perf_counter()
+        timed = [chain(trainer.state.anchors, trainer.state.decoders, cam)
+                 for cam, _ in inputs]
+        jax.block_until_ready(timed)
+        per_ms = (time.perf_counter() - t0) * 1000.0 / len(chunk)
         outs = [fn(trainer.state.anchors, trainer.state.decoders, cam, gt)
                 for cam, gt in inputs]
         jax.block_until_ready(outs)
-        per_ms = (time.perf_counter() - t0) * 1000.0 / len(chunk)
         for i, (cam, gt), (img_m, p, s, pg) in zip(chunk, inputs, outs):
             psnrs.append(float(p))
             dssims.append(1.0 - float(s))

@@ -190,6 +190,13 @@ class ChainedEvalRenderer:
         feats, aux = self._project(neural, cam)
         return self._blend(feats, aux)
 
+    def jits(self):
+        """The three stage jits (decode, project, blend) — for cache-size
+        introspection in tests: a retrace of any stage on TPU means a
+        minutes-long recompile of the instance sort, so consumers must keep
+        input signatures canonical."""
+        return (self._decode, self._project, self._blend)
+
 
 def project_to_image(
     state: AnchorState,

@@ -110,6 +110,10 @@ def _load():
     lib.sg_tracker_set_gt_hint.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
     ]
+    lib.sg_tracker_map_info.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
     lib.sg_tracker_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -283,6 +287,17 @@ class NativeTracker:
         """World gravity vector (default (0, +9.81, 0): +y down)."""
         g = (ctypes.c_double * 3)(*[float(v) for v in g_w])
         self._lib.sg_tracker_set_gravity(self._h, g)
+
+    def map_info(self):
+        """Atlas state: (active_map, maps_created, merged_into_or_-1).
+        The merge indicator clears on read (poll semantics); a non-negative
+        value means the active map was just aligned onto an older one."""
+        a = ctypes.c_int()
+        c = ctypes.c_int()
+        m = ctypes.c_int()
+        self._lib.sg_tracker_map_info(self._h, ctypes.byref(a),
+                                      ctypes.byref(c), ctypes.byref(m))
+        return a.value, c.value, m.value
 
     def set_gt_hint(self, pose7):
         """Diagnostic (SG_ABL_FORCE_GT=1): ground-truth pose for the next

@@ -161,6 +161,20 @@ struct Tracker {
   long z_conflict = 0;
   long z_checked = 0;
 
+  // --- multi-map Atlas (reference: ORB-SLAM3/include/Atlas.h — multiple
+  // disconnected maps; a new one is spawned when tracking is lost beyond
+  // recovery, and maps are MERGED when place recognition finds a keyframe
+  // of an old map from the active one). Keyframes stay in one registry;
+  // kf_map[id] names the map each belongs to. Relocalization searches the
+  // ACTIVE map only; try_close_loop treats a cross-map candidate as a map
+  // merge (full SE3 alignment of the active map onto the old one).
+  std::vector<int> kf_map;   // keyframe id -> map id
+  int active_map = 0;
+  int maps_created = 1;
+  int lost_streak = 0;       // consecutive frames lost (reloc failed too)
+  int new_map_after = 30;    // lost frames before spawning a fresh map
+  int merged_into = -1;      // map id of the latest merge target (poll)
+
 
   // global bundle adjustment (reference: ORB-SLAM3
   // Optimizer::GlobalBundleAdjustemnt, run after every accepted loop
@@ -1105,7 +1119,12 @@ void try_close_loop(Tracker* T, const cv::Mat& K, GlobalKF& cur) {
   // so a stride-subsampled scan still lands on one of them.
   std::vector<int> cands;
   for (const auto& cand : T->gkfs) {
-    if (cand.id > cur.id - T->loop_min_gap) break;  // gkfs sorted by id
+    // the temporal gap applies within a map only; cross-map candidates are
+    // never temporally adjacent (a lost span separates the maps), and older
+    // maps always carry smaller ids, so the sorted break stays valid
+    if (T->kf_map[cand.id] == T->kf_map[cur.id] &&
+        cand.id > cur.id - T->loop_min_gap)
+      break;
     if (cand.desc.empty()) continue;
     cands.push_back(cand.id);
   }
@@ -1138,9 +1157,16 @@ void try_close_loop(Tracker* T, const cv::Mat& K, GlobalKF& cur) {
   if (getenv("SG_TRACKER_DEBUG"))
     fprintf(stderr, "[loop-scan] cur=%d cands=%zu best=%d score=%zu\n",
             cur.id, cands.size(), best_cand, best_score);
-  if (best_cand < 0 ||
-      best_score < static_cast<size_t>(T->loop_matches_min))
-    return;
+  if (best_cand < 0) return;
+  // cross-map (Atlas merge) candidates pass at HALF the descriptor-score
+  // bar: viewpoints decay descriptors across the lost gap, and the merge
+  // path is gated by its own stricter PnP verification (2x inliers), which
+  // is what actually prevents aliased welds
+  const size_t score_min =
+      T->kf_map[best_cand] != T->kf_map[cur.id]
+          ? static_cast<size_t>(T->loop_matches_min) / 2
+          : static_cast<size_t>(T->loop_matches_min);
+  if (best_score < score_min) return;
 
   const GlobalKF& cand = T->gkfs[best_cand];
   std::vector<cv::Point3f> obj;
@@ -1151,6 +1177,89 @@ void try_close_loop(Tracker* T, const cv::Mat& K, GlobalKF& cur) {
     obj.push_back(cand.pts_w[m.queryIdx]);
     scene.push_back(cur.px[m.trainIdx]);
     cand_px.push_back(cand.px[m.queryIdx]);
+  }
+  // Cross-map (Atlas merge) verification upgrade: the raw descriptor
+  // matches across a lost gap are sparse (viewpoint change decays ORB
+  // descriptors), so estimate a COARSE pose from them, re-match the
+  // candidate's full registry points by guided projection, and verify the
+  // expanded set (reference analogue: LoopClosing Sim3 + SearchByProjection
+  // before MergeLocal).
+  if (T->kf_map[best_cand] != T->kf_map[cur.id]) {
+    // rebuild the tentative set with ratio-test knn matching: crossCheck
+    // keeps only mutual-best pairs, too sparse across a lost gap; RANSAC
+    // below tolerates the extra outliers
+    {
+      const GlobalKF& cnd = T->gkfs[best_cand];
+      std::vector<std::vector<cv::DMatch>> knn;
+      T->matcher_knn->knnMatch(cnd.desc, cur.desc, knn, 2);
+      std::vector<cv::Point3f> obj1;
+      std::vector<cv::Point2f> scene1, cand_px1;
+      for (const auto& ms : knn) {
+        if (ms.empty() || ms[0].distance > 60) continue;
+        if (ms.size() > 1 && ms[0].distance > 0.85f * ms[1].distance)
+          continue;
+        obj1.push_back(cnd.pts_w[ms[0].queryIdx]);
+        scene1.push_back(cur.px[ms[0].trainIdx]);
+        cand_px1.push_back(cnd.px[ms[0].queryIdx]);
+      }
+      if (obj1.size() > obj.size()) {
+        obj = std::move(obj1);
+        scene = std::move(scene1);
+        cand_px = std::move(cand_px1);
+      }
+    }
+    if (obj.size() < 15) return;
+    cv::Mat rv0, tv0;
+    std::vector<int> in0;
+    bool ok0 = cv::solvePnPRansac(obj, scene, K, cv::Mat(), rv0, tv0, false,
+                                  500, 8.0, 0.995, in0, cv::SOLVEPNP_EPNP);
+    if (getenv("SG_TRACKER_DEBUG"))
+      fprintf(stderr, "[atlas] coarse PnP: %zu matches ok=%d inl=%zu\n",
+              obj.size(), (int)ok0, in0.size());
+    if (ok0 && in0.size() >= 10) {
+      cv::Mat R0;
+      cv::Rodrigues(rv0, R0);
+      const GlobalKF& cnd = T->gkfs[best_cand];
+      std::vector<cv::Point3f> obj2;
+      std::vector<cv::Point2f> scene2, cand_px2;
+      std::vector<bool> cur_used(cur.px.size(), false);
+      for (size_t r = 0; r < cnd.pts_w.size(); ++r) {
+        cv::Mat X = (cv::Mat_<double>(3, 1) << cnd.pts_w[r].x,
+                     cnd.pts_w[r].y, cnd.pts_w[r].z);
+        cv::Mat Xc = R0 * X + tv0;
+        double z = Xc.at<double>(2);
+        if (z < 1e-3) continue;
+        float u = static_cast<float>(T->fx * Xc.at<double>(0) / z + T->cx);
+        float v = static_cast<float>(T->fy * Xc.at<double>(1) / z + T->cy);
+        int best = 61, best_row = -1;
+        for (size_t k = 0; k < cur.px.size(); ++k) {
+          if (cur_used[k]) continue;
+          if (std::abs(cur.px[k].x - u) > 20.0f ||
+              std::abs(cur.px[k].y - v) > 20.0f)
+            continue;
+          int d = static_cast<int>(cv::norm(
+              cnd.desc.row(static_cast<int>(r)),
+              cur.desc.row(static_cast<int>(k)), cv::NORM_HAMMING));
+          if (d < best) {
+            best = d;
+            best_row = static_cast<int>(k);
+          }
+        }
+        if (best_row < 0) continue;
+        cur_used[best_row] = true;
+        obj2.push_back(cnd.pts_w[r]);
+        scene2.push_back(cur.px[best_row]);
+        cand_px2.push_back(cnd.px[r]);
+      }
+      if (getenv("SG_TRACKER_DEBUG"))
+        fprintf(stderr, "[atlas] guided expansion %zu -> %zu matches\n",
+                obj.size(), obj2.size());
+      if (obj2.size() > obj.size()) {
+        obj = std::move(obj2);
+        scene = std::move(scene2);
+        cand_px = std::move(cand_px2);
+      }
+    }
   }
   if (obj.size() < static_cast<size_t>(T->loop_inliers_min)) return;
 
@@ -1177,6 +1286,72 @@ void try_close_loop(Tracker* T, const cv::Mat& K, GlobalKF& cur) {
   // pose: T_corr X' = T_est X  →  X' = G X with G = T_corr^{-1} T_est.
   cv::Mat G_R = R_corr.t() * cur.R;
   cv::Mat G_t = R_corr.t() * (cur.t - t_corr);
+
+  // --- Atlas map merge: the candidate lives in a DIFFERENT map. G maps the
+  // active map's world frame onto the candidate's (old) map frame — apply
+  // it FULLY to every active-map entity and relabel (reference: ORB-SLAM3
+  // LoopClosing::MergeLocal). Stricter verification than a same-map loop:
+  // the two frames share no prior constraint, so an aliased match would
+  // weld unrelated geometry together.
+  if (T->kf_map[best_cand] != T->kf_map[cur.id]) {
+    if (static_cast<int>(inliers.size()) < T->loop_inliers_min + 5) return;
+    const int target = T->kf_map[best_cand];
+    const int src_map = T->kf_map[cur.id];
+    for (auto& g : T->gkfs) {
+      if (T->kf_map[g.id] != src_map) continue;
+      g.R = g.R * G_R.t();
+      g.t = g.t - g.R * G_t;
+      for (auto& p : g.pts_w) {
+        cv::Mat X = (cv::Mat_<double>(3, 1) << p.x, p.y, p.z);
+        cv::Mat Xn = G_R * X + G_t;
+        p = cv::Point3f(static_cast<float>(Xn.at<double>(0)),
+                        static_cast<float>(Xn.at<double>(1)),
+                        static_cast<float>(Xn.at<double>(2)));
+      }
+      T->kf_map[g.id] = target;
+    }
+    for (auto& mp : T->mpts)
+      if (!mp.dead) mp.X = G_R * mp.X + G_t;
+    for (auto& mp : T->arch)
+      if (!mp.dead) mp.X = G_R * mp.X + G_t;
+    for (auto& kf : T->wkfs) {
+      kf.R = T->gkfs[kf.id].R.clone();
+      kf.t = T->gkfs[kf.id].t.clone();
+    }
+    cur.R = T->gkfs[cur.id].R.clone();
+    cur.t = T->gkfs[cur.id].t.clone();
+    T->R_cur = cur.R.clone();
+    T->t_cur = cur.t.clone();
+    T->active_map = target;
+    T->merged_into = target;
+    T->last_loop_kf = cur.id;
+    T->loop_closed_at = best_cand;  // producer refreshes all poses
+    // long-range observations bridging the merge, then a global relax
+    for (int idx : inliers) {
+      MapPoint mp;
+      cv::Mat X = (cv::Mat_<double>(3, 1) << obj[idx].x, obj[idx].y,
+                   obj[idx].z);
+      mp.X = X;
+      const GlobalKF& cnd = T->gkfs[best_cand];
+      cv::Mat Xc_cand = cnd.R * mp.X + cnd.t;
+      double z_cand = Xc_cand.at<double>(2);
+      mp.obs.push_back({cnd.id, cand_px[idx], z_cand > 0 ? z_cand : 0, 1.0});
+      cv::Mat Xc_cur = cur.R * mp.X + cur.t;
+      double z_cur = Xc_cur.at<double>(2);
+      mp.obs.push_back({cur.id, scene[idx], z_cur > 0 ? z_cur : 0, 1.0});
+      mp.last_seen_frame = T->frame_counter;
+      T->arch.push_back(std::move(mp));
+    }
+    if (getenv("SG_TRACKER_DEBUG"))
+      fprintf(stderr, "[atlas] MERGE map %d -> %d (cand kf %d, %zu inl)\n",
+              src_map, target, best_cand, inliers.size());
+    if (static_cast<int>(T->gkfs.size()) <= T->gba_max_kfs) {
+      global_ba(T, K, /*iters=*/8);
+      T->kfs_since_gba = 0;
+    }
+    return;
+  }
+
   double corr_t = cv::norm(G_t);
   double corr_r = rotation_angle_deg(G_R);
   if (getenv("SG_TRACKER_DEBUG"))
@@ -1306,6 +1481,7 @@ bool try_relocalize(Tracker* T, const cv::Mat& K,
   std::vector<cv::DMatch> best_matches;
   for (const auto& cand : T->gkfs) {
     if (cand.desc.empty() || cand.pts_w.empty()) continue;
+    if (T->kf_map[cand.id] != T->active_map) continue;  // Atlas: active only
     std::vector<cv::DMatch> matches;
     T->matcher->match(cand.desc, desc, matches);
     size_t good = 0;
@@ -1438,6 +1614,17 @@ void sg_tracker_imu_delta(void* handle, double* dR9, double* dv3,
   }
 }
 
+// Atlas introspection: packs (active map id, total maps created, latest
+// merge target or -1). The merge flag clears on read (poll semantics).
+void sg_tracker_map_info(void* handle, int* active, int* created,
+                         int* merged) {
+  auto* T = static_cast<Tracker*>(handle);
+  *active = T->active_map;
+  *created = T->maps_created;
+  *merged = T->merged_into;
+  T->merged_into = -1;
+}
+
 void sg_tracker_set_gravity(void* handle, const double* g3) {
   auto* T = static_cast<Tracker*>(handle);
   T->gravity_w = (cv::Mat_<double>(3, 1) << g3[0], g3[1], g3[2]);
@@ -1488,6 +1675,30 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   auto* T = static_cast<Tracker*>(handle);
   cv::Mat img(h, w, CV_8UC1, const_cast<unsigned char*>(gray));
   const int frame_no = T->frame_counter++;
+
+  // Atlas: tracking has been lost beyond recovery — abandon the active map
+  // and spawn a fresh one at a new origin (reference: ORB-SLAM3
+  // Tracking.cc CreateMapInAtlas). The old map's registry rows stay; a
+  // later cross-map place-recognition hit merges the maps (try_close_loop).
+  if (T->lost_streak >= T->new_map_after && !T->wkfs.empty()) {
+    T->mpts.clear();
+    T->arch.clear();
+    T->wkfs.clear();
+    T->R_cur = cv::Mat::eye(3, 3, CV_64F);
+    T->t_cur = cv::Mat::zeros(3, 1, CV_64F);
+    T->have_vel = false;
+    T->have_v_w = false;
+    T->has_imu = false;
+    T->imu_dR = cv::Mat::eye(3, 3, CV_64F);
+    T->imu_dv = cv::Mat::zeros(3, 1, CV_64F);
+    T->imu_dp = cv::Mat::zeros(3, 1, CV_64F);
+    T->imu_dt_sum = 0.0;
+    T->active_map = T->maps_created++;
+    T->lost_streak = 0;
+    if (getenv("SG_TRACKER_DEBUG"))
+      fprintf(stderr, "[atlas] f=%d new map %d spawned\n", frame_no,
+              T->active_map);
+  }
 
   std::vector<cv::KeyPoint> kps;
   cv::Mat desc;
@@ -1560,6 +1771,7 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     g.R = R.clone();
     g.t = t.clone();
     fill_global_kf(T, &g, kps, desc, depth, w, h, R, t);
+    T->kf_map.push_back(T->active_map);
     T->gkfs.push_back(std::move(g));
 
     if (!getenv("SG_ABL_NO_LBA")) {
@@ -1578,7 +1790,8 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     try_close_loop(T, K, T->gkfs.back());
   };
 
-  if (T->gkfs.empty()) {  // bootstrap: first frame = origin + first keyframe
+  if (T->wkfs.empty()) {  // bootstrap: first frame of this MAP = origin
+                          // keyframe (fresh session or a new Atlas map)
     if (T->has_gt_hint && getenv("SG_ABL_FORCE_GT")) {
       T->R_cur = T->gt_R.clone();
       T->t_cur = T->gt_t.clone();
@@ -1621,9 +1834,11 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     *n_inliers_out = 0;
     T->have_vel = false;
     if (try_relocalize(T, K, kps, desc, frame_no)) {
+      T->lost_streak = 0;
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return 0;
     }
+    T->lost_streak++;
     write_pose7(T->R_cur, T->t_cur, pose_out);
     return -1;
   }
@@ -1695,9 +1910,11 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     *n_inliers_out = 0;
     T->have_vel = false;
     if (try_relocalize(T, K, kps, desc, frame_no)) {
+      T->lost_streak = 0;
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return 0;
     }
+    T->lost_streak++;
     write_pose7(T->R_cur, T->t_cur, pose_out);
     return -1;
   }
@@ -1731,9 +1948,11 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     *n_inliers_out = static_cast<int>(inliers.size());
     T->have_vel = false;
     if (try_relocalize(T, K, kps, desc, frame_no)) {
+      T->lost_streak = 0;
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return 0;
     }
+    T->lost_streak++;
     write_pose7(T->R_cur, T->t_cur, pose_out);
     return -1;
   }
@@ -1855,17 +2074,20 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
       if (T->reject_streak >= 3 &&
           try_relocalize(T, K, kps, desc, frame_no)) {
         T->reject_streak = 0;
+        T->lost_streak = 0;
         write_pose7(T->R_cur, T->t_cur, pose_out);
         return 0;
       }
       if (T->reject_streak >= 15) {
         for (auto& mp : T->mpts) mp.dead = true;
       }
+      T->lost_streak++;
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
     T->reject_streak = 0;
   }
+  T->lost_streak = 0;
   // update the constant-velocity model from the accepted frame-to-frame
   // motion (Tracking.cc: mVelocity = mCurrentFrame.GetPose() * LastTwc)
   T->R_vel = R * T->R_cur.t();
@@ -2068,6 +2290,7 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
       gd.row(rows[r]).copyTo(g.desc.row(static_cast<int>(r)));
       g.px.push_back(gk[rows[r]].pt);
     }
+    T->kf_map.push_back(T->active_map);
     T->gkfs.push_back(std::move(g));
   };
 

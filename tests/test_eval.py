@@ -93,6 +93,44 @@ def test_recorder_and_harness(tmp_path):
     assert "psnr" in res and "render_fps" in res and "tracking_fps" in res
     assert np.isfinite(res["psnr"])
 
+    # all-frames eval (renderAndRecordAllframes equivalent) writes the
+    # <iter>_images layout AND must not retrace the chained renderer the
+    # keyframe eval already compiled (a retrace on the TPU recompiles a
+    # minutes-long sort program; regression guard for the recorder's
+    # input staging)
+    from segs_slam_tpu.eval.recorder import record_all_frames
+
+    class _FakeFrame:
+        def __init__(self, img, ts):
+            self._img = img
+            self.timestamp = ts
+
+        def load_rgb(self):
+            return self._img
+
+    frames = [
+        _FakeFrame(rng.uniform(0.1, 1, (3, H, W)).astype(np.float32),
+                   float(i))
+        for i in range(3)
+    ]
+    est = [([1.0, 0.0, 0.0, 0.0], [0.05 * i, 0.0, 0.0]) for i in range(3)]
+    chain_fns = trainer._eval_render()
+    sizes_before = [f._cache_size() for f in chain_fns.jits()] \
+        if hasattr(chain_fns, "jits") else None
+    agg2 = record_all_frames(trainer, run_dir, frames, est, cam,
+                             record_images=True, image_stride=1, batch=2)
+    assert agg2["n_frames"] == 3
+    it_dir = run_dir / f"{trainer.iteration}_images"
+    for f in ["psnr.txt", "dssim.txt", "render_time.txt",
+              "AllCameraTrajectory_TUM.txt"]:
+        assert (it_dir / f).exists(), f
+    assert (it_dir / "all_image").is_dir()
+    if sizes_before is not None:
+        sizes_after = [f._cache_size() for f in chain_fns.jits()]
+        assert sizes_after == sizes_before, (
+            "all-frames eval retraced the chained renderer: "
+            f"{sizes_before} -> {sizes_after}")
+
 
 def test_checkpoint_roundtrip(tmp_path):
     import jax
