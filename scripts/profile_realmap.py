@@ -1,0 +1,164 @@
+"""Per-stage eval-render profile on a REAL saved map (anchors.ply + mlps/).
+
+The synthetic full-map profile (profile_fullmap_compose.py) showed
+2.4 ms/frame at the 2^17/kmax16 point, but the committed run artifacts read
+22.4 ms/frame on the trained map — this loads that exact map + its keyframe
+cameras and breaks the chained eval render into per-stage timings to find
+the real bottleneck.
+
+Usage: python scripts/profile_realmap.py /root/results/room_oracle_8k_full \
+           [--capacity 65536 --compact 131072 --kmax 16 --ksmall 4 --nlarge 8192]
+"""
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from segs_slam_tpu.core.camera import Camera
+from segs_slam_tpu.core.keyframe import Keyframe
+from segs_slam_tpu.core import se3
+from segs_slam_tpu.io.ply import load_anchor_ply
+from segs_slam_tpu.models.anchors import empty_state
+from segs_slam_tpu.models.config import ModelConfig
+from segs_slam_tpu.models.decoders import init_decoders
+from segs_slam_tpu.models.renderer import ChainedEvalRenderer
+
+
+def load_map(run_dir: Path, mc: ModelConfig):
+    d = load_anchor_ply(run_dir / "anchors.ply")
+    n = d["anchor"].shape[0]
+    st = empty_state(mc)
+    assert n <= mc.capacity, (n, mc.capacity)
+
+    def pad(cap_arr, vals):
+        a = np.zeros(cap_arr.shape, np.float32)
+        a[:n] = vals
+        return jnp.asarray(a)
+
+    st = st._replace(
+        anchor=pad(st.anchor, d["anchor"]),
+        offset=pad(st.offset, d["offset"]),
+        feat=pad(st.feat, d["feat"]),
+        scaling=pad(st.scaling, d["scaling"]),
+        rotation=pad(st.rotation, d["rotation"]),
+        opacity=pad(st.opacity, d["opacity"]),
+        active=jnp.asarray(np.arange(mc.capacity) < n),
+    )
+
+    decoders = init_decoders(jax.random.PRNGKey(0), mc)
+    mlps = run_dir / "mlps"
+
+    def loadtxt(name):
+        return np.loadtxt(mlps / f"{name}.txt", dtype=np.float32)
+
+    def set_mlp2(params, name):
+        for l in ("l1", "l2"):
+            w = loadtxt(f"mlp_{name}_{l}_weight").T
+            b = loadtxt(f"mlp_{name}_{l}_bias").reshape(-1)
+            assert w.shape == params[name][l]["w"].shape
+            params[name][l] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+
+    set_mlp2(decoders, "opacity")
+    set_mlp2(decoders, "cov")
+    set_mlp2(decoders, "color")
+    if "appearance" in decoders:
+        w = loadtxt("mlp_appearance_weight").T
+        b = loadtxt("mlp_appearance_bias").reshape(-1)
+        decoders["appearance"] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    return st, decoders, n
+
+
+def load_cams(run_dir: Path):
+    entries = json.load(open(run_dir / "cameras.json"))
+    cams = []
+    for e in entries:
+        C2W_R = np.asarray(e["rotation"])
+        center = np.asarray(e["position"])
+        R = C2W_R.T
+        t = -R @ center
+        q = np.asarray(se3.rotmat_to_quat(jnp.asarray(R)))
+        cam = Camera(camera_id=0, width=e["width"], height=e["height"],
+                     fx=e["fx"], fy=e["fy"], cx=e["width"] / 2,
+                     cy=e["height"] / 2)
+        kf = Keyframe(kf_id=e["id"], camera=cam, quat=q, trans=t)
+        cams.append({k: jnp.asarray(np.asarray(v, np.float32))
+                     for k, v in kf.render_inputs().items()})
+    return cams, entries[0]["width"], entries[0]["height"]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("run_dir")
+    p.add_argument("--capacity", type=int, default=65536)
+    p.add_argument("--compact", type=int, default=131072)
+    p.add_argument("--kmax", type=int, default=16)
+    p.add_argument("--ksmall", type=int, default=4)
+    p.add_argument("--nlarge", type=int, default=8192)
+    args = p.parse_args()
+
+    from segs_slam_tpu.ops.rasterizer import RasterConfig
+
+    run_dir = Path(args.run_dir)
+    mc = ModelConfig(capacity=args.capacity)
+    st, decoders, n = load_map(run_dir, mc)
+    cams, width, height = load_cams(run_dir)
+    print(f"{n} anchors, {len(cams)} cams, {width}x{height}", flush=True)
+
+    rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax,
+                      chunk=256, ksmall=args.ksmall,
+                      nlarge=args.nlarge if args.ksmall else 0)
+    chain = ChainedEvalRenderer(mc, rc, width, height, jnp.zeros(3))
+    dec, proj, blend = chain.jits()
+
+    # warm
+    img = chain(st.anchors if hasattr(st, "anchors") else st, decoders,
+                cams[0])
+    jax.block_until_ready(img)
+
+    N = min(len(cams), 40)
+    use = cams[:N]
+
+    # per-stage, synced
+    neurals, projs = [], []
+    t0 = time.perf_counter()
+    for c in use:
+        neurals.append(dec(st, decoders, c))
+    jax.block_until_ready(neurals)
+    t1 = time.perf_counter()
+    for nn, c in zip(neurals, use):
+        projs.append(proj(nn, c))
+    jax.block_until_ready(projs)
+    t2 = time.perf_counter()
+    imgs = [blend(f, a) for f, a in projs]
+    jax.block_until_ready(imgs)
+    t3 = time.perf_counter()
+    print(f"decode : {(t1-t0)/N*1000:7.2f} ms/frame", flush=True)
+    print(f"project: {(t2-t1)/N*1000:7.2f} ms/frame", flush=True)
+    print(f"blend  : {(t3-t2)/N*1000:7.2f} ms/frame", flush=True)
+
+    # pipelined chain (the recorder's timing)
+    t0 = time.perf_counter()
+    imgs = [chain(st, decoders, c) for c in use]
+    jax.block_until_ready(imgs)
+    dt = (time.perf_counter() - t0) / N * 1000
+    print(f"chained: {dt:7.2f} ms/frame ({1000/dt:6.1f} FPS)", flush=True)
+
+    # occupancy diagnostics
+    from segs_slam_tpu.models.renderer import render
+    out = jax.jit(lambda a, d, c: render(
+        a, d, c, width, height, jnp.zeros(3), mc, rc))(st, decoders, cams[0])
+    print("num_compact:", int(out.num_compact),
+          "num_instances:", int(out.num_instances),
+          "visible_anchors:", int(out.visible_anchor_mask.sum()), flush=True)
+
+
+if __name__ == "__main__":
+    main()

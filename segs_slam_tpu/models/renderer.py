@@ -121,14 +121,24 @@ class ChainedEvalRenderer:
 
     def __init__(self, model_config: ModelConfig, raster_config: RasterConfig,
                  width: int, height: int, bg: jnp.ndarray,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, packed: bool = True):
         import jax
 
-        from segs_slam_tpu.ops.rasterizer.blend import binned_blend
+        from segs_slam_tpu.ops.rasterizer.blend import (
+            binned_blend,
+            binned_blend_eval,
+        )
         from segs_slam_tpu.ops.rasterizer.preprocess import (
             compute_cov3d,
             preprocess_gaussians,
         )
+
+        # packed=True halves the binning-sort bandwidth (the dominant
+        # eval-path cost on real maps) via f16-pair payload packing; see
+        # binning.py packed section for the precision analysis. The training
+        # path always keeps full-f32 sorts. packed needs 16px tiles.
+        blend_fn = (binned_blend_eval
+                    if packed and raster_config.tile == 16 else binned_blend)
 
         mc, rc = model_config, raster_config
         if interpret is None:
@@ -177,7 +187,7 @@ class ChainedEvalRenderer:
 
         @jax.jit
         def _blend(feats, aux):
-            color, *_ = binned_blend(feats, aux, bg, static)
+            color, *_ = blend_fn(feats, aux, bg, static)
             b = rc.tile
             return (color.reshape(ty, tx, 3, b, b)
                     .transpose(2, 0, 3, 1, 4)

@@ -470,6 +470,57 @@ def _pallas_call(kernel, static, out_shapes, out_specs, in_specs, scratch,
     )
 
 
+def binned_blend_eval(feats, aux, bg, static):
+    """No-gradient blend with PACKED binning sorts (binning.py packed
+    section): same Pallas kernel, ~2x less sort bandwidth — the dominant
+    eval-path cost on real maps. Returns (color, final_T, depth[=0],
+    n_contrib, num_instances, num_compact); the depth image is zero (the
+    eval path discards it). f16 payload rounding bounds the color error
+    (parity test: tests/test_packed_binning.py)."""
+    from segs_slam_tpu.ops.rasterizer.binning import (
+        compact_gaussians_packed,
+        expand_and_sort_packed,
+    )
+
+    cfg, tx, ty, npix, interpret = static
+    nt = tx * ty
+
+    pc = compact_gaussians_packed(feats, aux, cfg)
+    feats_sorted, tile_start, tile_stop, num_instances, num_large = (
+        expand_and_sort_packed(pc, tx, ty, cfg)
+    )
+    nk = cfg.max_instances
+    feats_hbm = _stack_feats(feats_sorted, nk, cfg.chunk)
+
+    kern = functools.partial(_fwd_kernel, cfg=cfg, tx=tx, npix=npix)
+    out_shapes = (
+        jax.ShapeDtypeStruct((nt, 3, npix), jnp.float32),
+        jax.ShapeDtypeStruct((nt, 1, npix), jnp.float32),
+        jax.ShapeDtypeStruct((nt, 1, npix), jnp.float32),
+        jax.ShapeDtypeStruct((nt, 1, npix), jnp.int32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, 3, npix), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((2, NFEAT, cfg.chunk), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    call = _pallas_call(kern, static, out_shapes, out_specs, in_specs,
+                        scratch)
+    color, final_t, depth_img, ncontrib = call(
+        tile_start, tile_stop, feats_hbm, bg.reshape(3, 1)
+    )
+    return (color, final_t, depth_img, ncontrib, num_instances, pc.num_valid)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def binned_blend(feats, aux, bg, static):
     """feats: tuple of NPAY differentiable per-gaussian [N] arrays

@@ -39,7 +39,8 @@ def test_chained_matches_fused():
 
     fused = render(anchors, decoders, cam_in, w, h, bg, mc, rc,
                    interpret=True).image
-    chain = ChainedEvalRenderer(mc, rc, w, h, bg, interpret=True)
+    chain = ChainedEvalRenderer(mc, rc, w, h, bg, interpret=True,
+                                packed=False)
     chained = chain(anchors, decoders, cam_in)
 
     assert chained.shape == fused.shape == (3, h, w)
@@ -69,7 +70,8 @@ def test_chained_dual_rate():
 
     fused = render(anchors, decoders, cam_in, w, h, bg, mc, rc,
                    interpret=True).image
-    chain = ChainedEvalRenderer(mc, rc, w, h, bg, interpret=True)
+    chain = ChainedEvalRenderer(mc, rc, w, h, bg, interpret=True,
+                                packed=False)
     np.testing.assert_allclose(
         np.asarray(chain(anchors, decoders, cam_in)), np.asarray(fused),
         atol=1e-5)

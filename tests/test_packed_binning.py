@@ -1,0 +1,158 @@
+"""Packed (eval-only) binning parity: binned_blend_eval must reproduce the
+full-f32 binned_blend image up to f16 payload rounding, with the identical
+instance set.
+
+The packed path halves the two big sort bandwidths (the dominant eval cost
+on real maps — scripts/profile_blend_stages.py); correctness here means
+(a) the same gaussians land in the same tiles in the same depth order, and
+(b) the f16 feature rounding perturbs the blended image by less than the
+documented bound.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from segs_slam_tpu.core import Camera
+from segs_slam_tpu.core.keyframe import Keyframe
+from segs_slam_tpu.models.anchors import empty_state, insert_points
+from segs_slam_tpu.models.config import ModelConfig
+from segs_slam_tpu.models.decoders import init_decoders
+from segs_slam_tpu.models.renderer import ChainedEvalRenderer
+from segs_slam_tpu.ops.rasterizer import RasterConfig
+from segs_slam_tpu.ops.rasterizer.binning import (
+    DEPTH_KEY_BITS,
+    _depth_key,
+    _pack2f16,
+    _unpack2f16,
+)
+
+
+def _scene(seed=3, n=40):
+    mc = ModelConfig(feat_dim=8, n_offsets=4, appearance_dim=0,
+                     embedding_dim=4, capacity=64, voxel_size=0.05)
+    rng = np.random.default_rng(seed)
+    anchors, _ = insert_points(
+        empty_state(mc), rng.uniform([-1, -1, 2], [1, 1, 5], (n, 3)), mc
+    )
+    anchors = anchors._replace(
+        scaling=jnp.full_like(anchors.scaling, np.log(0.3)))
+    decoders = init_decoders(jax.random.PRNGKey(0), mc)
+    w, h = 48, 32
+    cam = Camera(camera_id=0, width=w, height=h, fx=40.0, fy=40.0,
+                 cx=w / 2, cy=h / 2)
+    kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
+    cam_in = {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
+    return mc, anchors, decoders, cam_in, w, h
+
+
+def test_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(-100, 100, 256), jnp.float32)
+    b = jnp.asarray(rng.uniform(0, 1, 256), jnp.float32)
+    a2, b2 = _unpack2f16(_pack2f16(a, b))
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b), atol=5e-4)
+
+
+def test_depth_key_monotonic():
+    d = jnp.asarray(np.sort(np.random.default_rng(1).uniform(0.05, 50.0,
+                                                             512)),
+                    jnp.float32)
+    k = np.asarray(_depth_key(d))
+    assert (np.diff(k) >= 0).all()
+    assert k.max() < (1 << DEPTH_KEY_BITS)
+
+
+def _image_pair(rc, seed=3):
+    mc, anchors, decoders, cam_in, w, h = _scene(seed)
+    bg = jnp.zeros(3)
+    ref = ChainedEvalRenderer(mc, rc, w, h, bg, interpret=True,
+                              packed=False)(anchors, decoders, cam_in)
+    packed = ChainedEvalRenderer(mc, rc, w, h, bg, interpret=True,
+                                 packed=True)(anchors, decoders, cam_in)
+    return np.asarray(ref), np.asarray(packed)
+
+
+def test_packed_matches_unpacked_flat():
+    rc = RasterConfig(tile=16, compact=256, kmax=8, chunk=64)
+    ref, packed = _image_pair(rc)
+    assert ref.max() > 0.0
+    np.testing.assert_allclose(packed, ref, atol=2e-2)
+    # tight on average: f16 rounding is sub-1% per contribution
+    assert np.abs(packed - ref).mean() < 2e-3
+
+
+def test_packed_matches_unpacked_dual_rate():
+    rc = RasterConfig(tile=16, compact=256, kmax=8, chunk=64,
+                      ksmall=2, nlarge=64)
+    ref, packed = _image_pair(rc, seed=5)
+    assert ref.max() > 0.0
+    np.testing.assert_allclose(packed, ref, atol=2e-2)
+
+
+def test_packed_instance_sets_identical():
+    """Same instances in the same tiles: compare tile_start/stop and
+    num_instances between the packed and reference binning pipelines."""
+    import functools
+
+    from segs_slam_tpu.models.neural_gaussians import (
+        generate_neural_gaussians,
+    )
+    from segs_slam_tpu.ops.rasterizer import visible_filter
+    from segs_slam_tpu.ops.rasterizer.binning import (
+        compact_gaussians,
+        compact_gaussians_packed,
+        expand_and_sort,
+        expand_and_sort_packed,
+    )
+    from segs_slam_tpu.ops.rasterizer.preprocess import (
+        compute_cov3d,
+        preprocess_gaussians,
+    )
+
+    mc, anchors, decoders, cam_in, w, h = _scene(seed=7)
+    rc = RasterConfig(tile=16, compact=256, kmax=8, chunk=64)
+    tx, ty = rc.grid(w, h)
+
+    grid_scale3 = jnp.exp(anchors.scaling[:, :3])
+    rotation = anchors.rotation / jnp.maximum(
+        jnp.linalg.norm(anchors.rotation, axis=-1, keepdims=True), 1e-12)
+    visible = visible_filter(
+        anchors.anchor, grid_scale3, rotation, cam_in["world_view_transform"],
+        cam_in["full_proj_transform"], w, h, cam_in["tan_fovx"],
+        cam_in["tan_fovy"], config=rc, valid=anchors.active)
+    neural = generate_neural_gaussians(
+        anchors, decoders, cam_in["camera_center"], cam_in["pose7"], visible,
+        mc)
+    cov3d = compute_cov3d(neural.scaling, neural.rotation, 1.0)
+    proj = preprocess_gaussians(
+        neural.xyz, cov3d, cam_in["world_view_transform"],
+        cam_in["full_proj_transform"], w, h, cam_in["tan_fovx"],
+        cam_in["tan_fovy"], rc, valid_in=neural.valid)
+    opac = neural.opacity.reshape(-1)
+    feats = (proj.mean2d[:, 0], proj.mean2d[:, 1], proj.conic[:, 0],
+             proj.conic[:, 1], proj.conic[:, 2], opac,
+             neural.color[:, 0], neural.color[:, 1], neural.color[:, 2])
+    aux = {
+        "rect_min_x": proj.rect_min[:, 0],
+        "rect_min_y": proj.rect_min[:, 1],
+        "rect_w": proj.rect_max[:, 0] - proj.rect_min[:, 0],
+        "touched": proj.tiles_touched.astype(jnp.int32),
+        "depth": proj.depth,
+        "alive": proj.radius > 0,
+    }
+
+    cg = compact_gaussians(feats, aux, rc)
+    binned = expand_and_sort(cg, tx, ty, rc)
+    pc = compact_gaussians_packed(feats, aux, rc)
+    _, tile_start, tile_stop, num_instances, num_large = (
+        expand_and_sort_packed(pc, tx, ty, rc))
+
+    assert int(num_instances) == int(binned.num_instances)
+    assert int(num_large) == int(binned.num_large)
+    np.testing.assert_array_equal(np.asarray(tile_start),
+                                  np.asarray(binned.tile_start))
+    np.testing.assert_array_equal(np.asarray(tile_stop),
+                                  np.asarray(binned.tile_stop))
+    assert int(pc.num_valid) == int(cg.num_valid)
