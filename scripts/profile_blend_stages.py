@@ -79,6 +79,20 @@ def main():
     bjit = jax.jit(functools.partial(binned_blend, static=static))
     bench(bjit, (feats, aux, jnp.zeros(3)), name="full binned_blend")
 
+    from segs_slam_tpu.ops.rasterizer.binning import (
+        compact_gaussians_packed,
+        expand_and_sort_packed,
+    )
+    from segs_slam_tpu.ops.rasterizer.blend import binned_blend_eval
+
+    pjit = jax.jit(functools.partial(compact_gaussians_packed, config=rc))
+    pc = bench(pjit, (feats, aux), name="packed compact sort")
+    pejit = jax.jit(functools.partial(expand_and_sort_packed, num_tiles_x=tx,
+                                      num_tiles_y=ty, config=rc))
+    bench(pejit, (pc,), name="packed expand+sort")
+    pbjit = jax.jit(functools.partial(binned_blend_eval, static=static))
+    bench(pbjit, (feats, aux, jnp.zeros(3)), name="packed binned_blend")
+
     bench(blend, (feats, aux), name="blend stage (jit)")
 
     # occupancy

@@ -230,19 +230,34 @@ def expand_and_sort(
     )
 
 
+
+
 # ---------------------------------------------------------------------------
 # Packed (eval-only) binning: the two big payload sorts are HBM-bandwidth
 # bound (real-map profile: 5.3 ms compact + 9.2 ms instance sort vs 2.5 ms
 # for the Pallas blend itself at the 65k-anchor point), so the no-gradient
-# eval path halves the sorted bytes by packing feature pairs into f16 halves
-# of one u32 column and fusing (tile, depth) into a single u32 sort key.
-# Features are unpacked back to f32 [NFEAT, NK] AFTER the sort, so the blend
-# kernel is shared with the training path bit-for-bit. Precision: mean2d is
-# packed TILE-RELATIVE (f16 ulp <= 0.25 px within a kmax-clamped footprint);
-# conic/opacity/rgb carry f16's ~0.05% relative error; the depth sort key
-# keeps the top 21 bits of the f32 pattern (sign+exp+12 mantissa bits,
-# monotonic for positive depths) — ordering flips only between gaussians
-# within ~0.02% relative depth of each other.
+# eval path shrinks the sorted bytes by packing feature pairs into f16
+# halves of one u32 column and fusing (tile, depth) into a single u32 sort
+# key. Features are unpacked back to f32 [NFEAT, NK] AFTER the sort, so the
+# blend kernel is shared with the training path bit-for-bit.
+#
+# Column layout (8 sort operands in the compaction vs 16 unpacked, 6 in the
+# instance sort vs 12):
+#   p_xy   = f16(x - rect_min_x*16) | f16(y - rect_min_y*16) << 16
+#   p_cab  = f16(conic.a) | f16(conic.b) << 16
+#   p_cco  = f16(conic.c) | f16(opacity) << 16
+#   p_rg   = f16(r) | f16(g) << 16
+#   p_b    = f16(b)            (high half spare)
+#   dmeta  = depth_key(21 bits) | min(touched, kmax) << 21
+#   rects  = rect_min_x | rect_min_y << 8 | rect_w << 16
+#
+# Precision: mean2d is RECT-RELATIVE (f16 ulp <= 0.25 px within a
+# kmax-clamped footprint; one more rounding when re-based to the instance
+# tile bounds the total at 0.5 px for the farthest tile of the largest
+# footprint); conic/opacity/rgb carry f16's ~0.05% relative error; the
+# depth key keeps the top 21 bits of the f32 pattern (sign+exp+12 mantissa
+# bits, monotonic for positive depths) — ordering flips only between
+# gaussians within ~0.02% relative depth.
 # ---------------------------------------------------------------------------
 
 DEPTH_KEY_BITS = 21
@@ -269,21 +284,21 @@ def _depth_key(depth):
 
 
 class PackedCompact(NamedTuple):
-    x: jnp.ndarray  # (compact,) f32 absolute mean2d.x
-    y: jnp.ndarray  # (compact,) f32
-    depth: jnp.ndarray  # (compact,) f32
-    p_cab: jnp.ndarray  # (compact,) u32 = pack(conic.a, conic.b)
-    p_cco: jnp.ndarray  # (compact,) u32 = pack(conic.c, opacity)
-    p_rg: jnp.ndarray  # (compact,) u32 = pack(r, g)
-    p_b: jnp.ndarray  # (compact,) u32 = pack(b, -) — high half unused
-    rects: jnp.ndarray  # (compact,) u32 = rmx | rmy<<8 | rw<<16 | touched<<24
+    p_xy: jnp.ndarray  # (compact,) u32 — rect-relative mean2d f16 pair
+    p_cab: jnp.ndarray  # (compact,) u32
+    p_cco: jnp.ndarray  # (compact,) u32
+    p_rg: jnp.ndarray  # (compact,) u32
+    p_b: jnp.ndarray  # (compact,) u32
+    dmeta: jnp.ndarray  # (compact,) u32 = depth_key | touched << 21
+    rects: jnp.ndarray  # (compact,) u32 = rmx | rmy<<8 | rw<<16
     valid: jnp.ndarray  # (compact,) bool
     num_valid: jnp.ndarray  # () int32
 
 
 def compact_gaussians_packed(feats, aux, config: RasterConfig):
-    """Opacity-priority compaction with packed payloads (9 sort operands vs
+    """Opacity-priority compaction with packed payloads (8 sort operands vs
     16 in compact_gaussians). Same key semantics; no orig_id (eval only)."""
+    assert config.kmax < 1 << 10, "touched field packs into dmeta bits 21+"
     alive = aux["alive"]
     n = alive.shape[0]
     nc = config.compact
@@ -296,23 +311,27 @@ def compact_gaussians_packed(feats, aux, config: RasterConfig):
     x, y, ca, cb, cc, op, r, g, b = feats
     opac_q = (65535.0 * (1.0 - jnp.clip(op, 0.0, 1.0))).astype(jnp.uint32)
     key = jnp.where(alive & jnp.isfinite(op), opac_q, jnp.uint32(1 << 24))
+    rmx = jnp.clip(aux["rect_min_x"], 0, 255).astype(jnp.uint32)
+    rmy = jnp.clip(aux["rect_min_y"], 0, 255).astype(jnp.uint32)
+    rw = jnp.clip(aux["rect_w"], 0, 255).astype(jnp.uint32)
     touched = jnp.clip(aux["touched"], 0, config.kmax).astype(jnp.uint32)
-    rects = (
-        jnp.clip(aux["rect_min_x"], 0, 255).astype(jnp.uint32)
-        | (jnp.clip(aux["rect_min_y"], 0, 255).astype(jnp.uint32) << 8)
-        | (jnp.clip(aux["rect_w"], 0, 255).astype(jnp.uint32) << 16)
-        | (touched << 24)
-    )
+    rects = rmx | (rmy << 8) | (rw << 16)
+    # depth of dead slots may be garbage/negative: force a positive value so
+    # the 21-bit key stays monotonic-safe (dead slots never expand anyway)
+    depth_safe = jnp.where(alive, aux["depth"], 1.0)
+    dmeta = _depth_key(depth_safe) | (touched << DEPTH_KEY_BITS)
+    ts = 16.0
+    p_xy = _pack2f16(x - rmx.astype(jnp.float32) * ts,
+                     y - rmy.astype(jnp.float32) * ts)
     out = lax.sort(
         (
             key,
-            x,
-            y,
-            aux["depth"],
+            p_xy,
             _pack2f16(ca, cb),
             _pack2f16(cc, op),
             _pack2f16(r, g),
             _pack2f16(b, jnp.zeros_like(b)),
+            dmeta,
             rects,
         ),
         num_keys=1,
@@ -320,26 +339,32 @@ def compact_gaussians_packed(feats, aux, config: RasterConfig):
     )
     key_s = out[0][:nc]
     valid = key_s < (1 << 24)
-    rects_s = jnp.where(valid, out[8][:nc], 0)  # touched=0 for dead slots
+    dmeta_s = jnp.where(valid, out[6][:nc], 0)  # touched=0 for dead slots
     return PackedCompact(
-        x=out[1][:nc],
-        y=out[2][:nc],
-        depth=out[3][:nc],
-        p_cab=out[4][:nc],
-        p_cco=out[5][:nc],
-        p_rg=out[6][:nc],
-        p_b=out[7][:nc],
-        rects=rects_s,
+        p_xy=out[1][:nc],
+        p_cab=out[2][:nc],
+        p_cco=out[3][:nc],
+        p_rg=out[4][:nc],
+        p_b=out[5][:nc],
+        dmeta=dmeta_s,
+        rects=out[7][:nc],
         valid=valid,
         num_valid=jnp.sum(alive.astype(jnp.int32)),
     )
 
 
-def _expand_grid_packed(fields, nc, k_lo, k_hi, tx, num_tiles):
-    """Instance columns for slots [k_lo, k_hi): fused u32 (tile, depth) key +
-    packed payloads, with mean2d re-expressed TILE-RELATIVE per instance.
-    fields = (x, y, depth, p_cab, p_cco, p_rg, p_b, rmx, rmy, rw, touched)."""
-    x, y, depth, p_cab, p_cco, p_rg, p_b, rmx, rmy, rw_, touched = fields
+def _expand_grid_packed(cols, nc, k_lo, k_hi, tx, num_tiles):
+    """Instance columns for slots [k_lo, k_hi): fused u32 (tile, depth) key
+    + packed payloads, with mean2d re-based from rect-relative to
+    TILE-relative per instance. cols = (p_xy, p_cab, p_cco, p_rg, p_b,
+    dmeta, rects)."""
+    p_xy, p_cab, p_cco, p_rg, p_b, dmeta, rects = cols
+    rmx = (rects & 0xFF).astype(jnp.int32)
+    rmy = ((rects >> 8) & 0xFF).astype(jnp.int32)
+    rw_ = ((rects >> 16) & 0xFF).astype(jnp.int32)
+    touched = (dmeta >> DEPTH_KEY_BITS).astype(jnp.int32)
+    dkey = dmeta & ((1 << DEPTH_KEY_BITS) - 1)
+
     kw = k_hi - k_lo
     k = lax.broadcasted_iota(jnp.int32, (nc, kw), 1) + k_lo
     ok = k < touched[:, None]
@@ -349,17 +374,22 @@ def _expand_grid_packed(fields, nc, k_lo, k_hi, tx, num_tiles):
     tile_x = rmx[:, None] + dx
     tile_y = rmy[:, None] + dy
     tile = jnp.where(ok, tile_y * tx + tile_x, num_tiles).astype(jnp.uint32)
-    dkey = jnp.broadcast_to(_depth_key(depth)[:, None], (nc, kw))
-    ukey = ((tile << DEPTH_KEY_BITS) | dkey).reshape(-1)
-    ts = 16.0  # tile edge in pixels — rasterizer tile is structurally 16
-    xr = x[:, None] - tile_x.astype(jnp.float32) * ts
-    yr = y[:, None] - tile_y.astype(jnp.float32) * ts
-    p_xy = _pack2f16(xr.reshape(-1), yr.reshape(-1))
+    ukey = ((tile << DEPTH_KEY_BITS)
+            | jnp.broadcast_to(dkey[:, None], (nc, kw))).reshape(-1)
+    # re-base mean2d from rect-min-relative to instance-tile-relative: the
+    # offset (dx, dy)*16 is exact in f16's range, so at most one extra
+    # rounding of an already-f16 value
+    ts = 16.0
+    xr, yr = _unpack2f16(p_xy)
+    xi = xr[:, None] - dx.astype(jnp.float32) * ts
+    yi = yr[:, None] - dy.astype(jnp.float32) * ts
+    p_xy_i = _pack2f16(xi.reshape(-1), yi.reshape(-1))
 
     def bcast(c):
         return jnp.broadcast_to(c[:, None], (nc, kw)).reshape(-1)
 
-    return ukey, (p_xy, bcast(p_cab), bcast(p_cco), bcast(p_rg), bcast(p_b))
+    return ukey, (p_xy_i, bcast(p_cab), bcast(p_cco), bcast(p_rg),
+                  bcast(p_b))
 
 
 def expand_and_sort_packed(pc: PackedCompact, num_tiles_x: int,
@@ -371,32 +401,31 @@ def expand_and_sort_packed(pc: PackedCompact, num_tiles_x: int,
     nc, km = config.compact, config.kmax
     tx = num_tiles_x
     num_tiles = num_tiles_x * num_tiles_y
+    assert (num_tiles + 1) << DEPTH_KEY_BITS < (1 << 32), \
+        "tile id must fit above the 21-bit depth key"
 
-    rmx = (pc.rects & 0xFF).astype(jnp.int32)
-    rmy = ((pc.rects >> 8) & 0xFF).astype(jnp.int32)
-    rw = ((pc.rects >> 16) & 0xFF).astype(jnp.int32)
-    touched = (pc.rects >> 24).astype(jnp.int32)
-    touched = jnp.minimum(touched, km)
-    base = (pc.x, pc.y, pc.depth, pc.p_cab, pc.p_cco, pc.p_rg, pc.p_b,
-            rmx, rmy, rw, touched)
+    cols = (pc.p_xy, pc.p_cab, pc.p_cco, pc.p_rg, pc.p_b, pc.dmeta,
+            pc.rects)
+    touched = (pc.dmeta >> DEPTH_KEY_BITS).astype(jnp.int32)
 
     if config.ksmall:
         ks, nl = config.ksmall, config.nlarge
-        ukey_s, pays_s = _expand_grid_packed(base, nc, 0, ks, tx, num_tiles)
+        ukey_s, pays_s = _expand_grid_packed(cols, nc, 0, ks, tx, num_tiles)
+        # selection: the nlarge largest footprints win the k >= ksmall slots
         sel_key = jnp.where(touched <= ks, km + 1, km - touched)
-        sel = lax.sort((sel_key,) + base, num_keys=1, is_stable=True)
-        fields_l = tuple(f[:nl] for f in sel[1:])
-        ukey_l, pays_l = _expand_grid_packed(fields_l, nl, ks, km, tx,
+        sel = lax.sort((sel_key,) + cols, num_keys=1, is_stable=True)
+        cols_l = tuple(f[:nl] for f in sel[1:])
+        ukey_l, pays_l = _expand_grid_packed(cols_l, nl, ks, km, tx,
                                              num_tiles)
         ukey = jnp.concatenate([ukey_s, ukey_l])
         pays = tuple(jnp.concatenate([a, b])
                      for a, b in zip(pays_s, pays_l))
-        touched_l = fields_l[10]
+        touched_l = (cols_l[5] >> DEPTH_KEY_BITS).astype(jnp.int32)
         num_instances = jnp.sum(jnp.minimum(touched, ks)) + jnp.sum(
             jnp.maximum(touched_l - ks, 0))
         num_large = jnp.sum((touched > ks).astype(jnp.int32))
     else:
-        ukey, pays = _expand_grid_packed(base, nc, 0, km, tx, num_tiles)
+        ukey, pays = _expand_grid_packed(cols, nc, 0, km, tx, num_tiles)
         num_instances = jnp.sum(touched)
         num_large = jnp.int32(0)
 
