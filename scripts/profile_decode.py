@@ -66,13 +66,15 @@ def main():
         ob_dist = jnp.sqrt(
             jnp.sum(ob_view * ob_view, axis=-1, keepdims=True) + 1e-12)
         ob_view = ob_view / ob_dist
-        cat = jnp.concatenate([feat, ob_view, ob_dist], axis=-1)
+        cat = jnp.concatenate([feat, ob_view], axis=-1)
+        color_in = cat
+        if mc.appearance_dim:
+            app = DecoderApply.appearance(d, c["pose7"][None, :])
+            color_in = jnp.concatenate(
+                [cat, jnp.broadcast_to(app, (a.anchor.shape[0],
+                                             mc.appearance_dim))], axis=-1)
         return (DecoderApply.opacity(d, cat), DecoderApply.cov(d, cat),
-                DecoderApply.color(d, jnp.concatenate(
-                    [cat, jnp.broadcast_to(
-                        DecoderApply.appearance(d, c["pose7"][None, :]),
-                        (a.anchor.shape[0], mc.appearance_dim))], axis=-1)
-                    if mc.appearance_dim else cat))
+                DecoderApply.color(d, color_in))
 
     bench(heads_only, (st, decoders, cam), name="MLP heads only")
 

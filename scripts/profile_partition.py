@@ -33,6 +33,19 @@ def bench(fn, args, n=50, name=""):
     return out
 
 
+def bench_varied(fn, args_list, name=""):
+    """Feed a DIFFERENT pre-staged input each iteration, pipelined (no
+    per-iter host sync — the axon tunnel round-trip poisons synced loops),
+    one block at the end. Matches the recorder's timing methodology."""
+    outs = [fn(*args_list[0]), fn(*args_list[1])]
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    outs = [fn(*a) for a in args_list]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / len(args_list) * 1000
+    print(f"{name:34s}: {dt:7.3f} ms", flush=True)
+
+
 def main():
     rng = np.random.default_rng(0)
     key = jnp.asarray(rng.integers(0, 1 << 20, N, dtype=np.int64),
@@ -46,11 +59,35 @@ def main():
 
     bench(full_sort, (key, cols), name=f"full sort {NCOLS} payload cols")
 
+    keys_v = [jnp.asarray(rng.integers(0, 1 << 20, N, dtype=np.int64),
+                          jnp.uint32) for _ in range(60)]
+    jax.block_until_ready(keys_v)
+    bench_varied(full_sort, [(k, cols) for k in keys_v],
+                 name="full sort (varied keys)")
+
     @jax.jit
     def key_only_sort(key):
         return jax.lax.sort((key,), num_keys=1)[0]
 
     bench(key_only_sort, (key,), name="key-only sort")
+    bench_varied(key_only_sort, [(k,) for k in keys_v],
+                 name="key-only sort (varied)")
+
+    @jax.jit
+    def partition_v(key, cols):
+        ks = jax.lax.sort((key,), num_keys=1)[0]
+        tau = ks[NC - 1]
+        pred = key <= tau
+        dst = jnp.cumsum(pred.astype(jnp.int32)) - 1
+        dst = jnp.where(pred, dst, NC)
+        return tuple(
+            jnp.zeros(NC, c.dtype).at[dst].set(c, mode="drop",
+                                               unique_indices=True)
+            for c in cols
+        )
+
+    bench_varied(partition_v, [(k, cols) for k in keys_v],
+                 name="partition (varied keys)")
 
     @jax.jit
     def partition(key, cols):

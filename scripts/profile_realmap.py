@@ -76,6 +76,32 @@ def load_map(run_dir: Path, mc: ModelConfig):
     return st, decoders, n
 
 
+def np_rotmat_to_quat(R):
+    """Pure-numpy rotmat->quat: the jnp version triggers a device->host
+    transfer, which PERMANENTLY degrades axon dispatch throughput ~15-50x
+    for the rest of the process (see profile_recover findings) — host math
+    must stay on the host."""
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    if tr > 0:
+        s = np.sqrt(max(tr + 1.0, 0.0)) * 2.0
+        q = [0.25 * s, (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+             (R[1, 0] - R[0, 1]) / s]
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        s = np.sqrt(max(1.0 + R[0, 0] - R[1, 1] - R[2, 2], 0.0)) * 2.0
+        q = [(R[2, 1] - R[1, 2]) / s, 0.25 * s, (R[0, 1] + R[1, 0]) / s,
+             (R[0, 2] + R[2, 0]) / s]
+    elif R[1, 1] >= R[2, 2]:
+        s = np.sqrt(max(1.0 + R[1, 1] - R[0, 0] - R[2, 2], 0.0)) * 2.0
+        q = [(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s, 0.25 * s,
+             (R[1, 2] + R[2, 1]) / s]
+    else:
+        s = np.sqrt(max(1.0 + R[2, 2] - R[0, 0] - R[1, 1], 0.0)) * 2.0
+        q = [(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+             (R[1, 2] + R[2, 1]) / s, 0.25 * s]
+    q = np.asarray(q)
+    return q if q[0] >= 0 else -q
+
+
 def load_cams(run_dir: Path):
     entries = json.load(open(run_dir / "cameras.json"))
     cams = []
@@ -84,7 +110,7 @@ def load_cams(run_dir: Path):
         center = np.asarray(e["position"])
         R = C2W_R.T
         t = -R @ center
-        q = np.asarray(se3.rotmat_to_quat(jnp.asarray(R)))
+        q = np_rotmat_to_quat(R)
         cam = Camera(camera_id=0, width=e["width"], height=e["height"],
                      fx=e["fx"], fy=e["fy"], cx=e["width"] / 2,
                      cy=e["height"] / 2)

@@ -67,7 +67,7 @@ def main(argv=None):
     from segs_slam_tpu.models.anchors import empty_state
     from segs_slam_tpu.models.config import ModelConfig
     from segs_slam_tpu.models.decoders import init_decoders
-    from segs_slam_tpu.models.renderer import ChainedEvalRenderer
+    from segs_slam_tpu.models.renderer import EvalRenderer
     from segs_slam_tpu.ops.rasterizer import RasterConfig
     from segs_slam_tpu.train.step import init_train_state
 
@@ -88,7 +88,7 @@ def main(argv=None):
     active = np.asarray(ts.anchors.active)
     center = anchors_np[active].mean(axis=0)
 
-    chain = ChainedEvalRenderer(mc, rc, w, h, jnp.zeros(3))
+    chain = EvalRenderer(mc, rc, w, h, jnp.zeros(3))
 
     def _render(cam_in):
         return chain(ts.anchors, ts.decoders, cam_in)

@@ -94,7 +94,7 @@ def build_renderer(args):
     from segs_slam_tpu.models.anchors import empty_state
     from segs_slam_tpu.models.config import ModelConfig
     from segs_slam_tpu.models.decoders import init_decoders
-    from segs_slam_tpu.models.renderer import ChainedEvalRenderer
+    from segs_slam_tpu.models.renderer import EvalRenderer
     from segs_slam_tpu.ops.rasterizer import RasterConfig
     from segs_slam_tpu.train.step import init_train_state
 
@@ -110,7 +110,7 @@ def build_renderer(args):
                       chunk=256, ksmall=args.ksmall,
                       nlarge=args.nlarge if args.ksmall else 0)
 
-    chain = ChainedEvalRenderer(mc, rc, w, h, jnp.zeros(3))
+    chain = EvalRenderer(mc, rc, w, h, jnp.zeros(3))
 
     def _render(cam_in):
         return chain(ts.anchors, ts.decoders, cam_in)

@@ -101,16 +101,101 @@ def render(
     )
 
 
+class EvalRenderer:
+    """Eval-only render: ONE fused jit (decode + project + packed blend).
+
+    Round-3 true-sync measurements (PERF_NOTES.md) overturned the round-2
+    chained-stage design: with genuine completion timing the fused single
+    dispatch is the fastest eval path (16.1 ms vs 18.4 ms chained at the
+    full 65k-anchor point) — fusing decode+project into the blend jit lets
+    XLA eliminate the [cap*K, 3/4] stage-boundary materializations
+    (~6.5 ms) and saves two tunnel dispatch overheads (~1.5 ms).
+
+    Uses the packed binning sorts (binning.py packed section) — eval only,
+    not differentiable; the training path keeps the fused render() with
+    full-f32 sorts.
+    """
+
+    def __init__(self, model_config: ModelConfig, raster_config: RasterConfig,
+                 width: int, height: int, bg: jnp.ndarray,
+                 interpret: bool | None = None, packed: bool = True):
+        import jax
+
+        from segs_slam_tpu.ops.rasterizer.blend import (
+            binned_blend,
+            binned_blend_eval,
+        )
+        from segs_slam_tpu.ops.rasterizer.preprocess import (
+            compute_cov3d,
+            preprocess_gaussians,
+        )
+
+        mc, rc = model_config, raster_config
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        tx, ty = rc.grid(width, height)
+        npix = rc.tile * rc.tile
+        static = (rc, tx, ty, npix, interpret)
+        bg = jnp.asarray(bg, jnp.float32)
+        blend_fn = (binned_blend_eval
+                    if packed and rc.tile == 16 else binned_blend)
+
+        @jax.jit
+        def _render(anchors, decoders, cam):
+            grid_scale3 = jnp.exp(anchors.scaling[:, :3])
+            rotation = anchors.rotation / jnp.maximum(
+                jnp.linalg.norm(anchors.rotation, axis=-1, keepdims=True),
+                1e-12)
+            visible = visible_filter(
+                anchors.anchor, grid_scale3, rotation,
+                cam["world_view_transform"], cam["full_proj_transform"],
+                width, height, cam["tan_fovx"], cam["tan_fovy"],
+                config=rc, valid=anchors.active)
+            neural = generate_neural_gaussians(
+                anchors, decoders, cam["camera_center"], cam["pose7"],
+                visible, mc)
+            cov3d = compute_cov3d(neural.scaling, neural.rotation, 1.0)
+            pr = preprocess_gaussians(
+                neural.xyz, cov3d, cam["world_view_transform"],
+                cam["full_proj_transform"], width, height,
+                cam["tan_fovx"], cam["tan_fovy"], rc,
+                valid_in=neural.valid)
+            feats = (pr.mean2d[:, 0], pr.mean2d[:, 1], pr.conic[:, 0],
+                     pr.conic[:, 1], pr.conic[:, 2],
+                     neural.opacity.reshape(-1), neural.color[:, 0],
+                     neural.color[:, 1], neural.color[:, 2])
+            aux = {
+                "rect_min_x": pr.rect_min[:, 0],
+                "rect_min_y": pr.rect_min[:, 1],
+                "rect_w": pr.rect_max[:, 0] - pr.rect_min[:, 0],
+                "touched": pr.tiles_touched.astype(jnp.int32),
+                "depth": pr.depth,
+                "alive": pr.radius > 0,
+            }
+            color, *_ = blend_fn(feats, aux, bg, static)
+            b = rc.tile
+            return (color.reshape(ty, tx, 3, b, b)
+                    .transpose(2, 0, 3, 1, 4)
+                    .reshape(3, ty * b, tx * b)[:, :height, :width])
+
+        self._render = _render
+
+    def __call__(self, anchors, decoders, cam):
+        return self._render(anchors, decoders, cam)
+
+    def jits(self):
+        return (self._render,)
+
+
 class ChainedEvalRenderer:
     """Eval-only render as a chain of three jit dispatches.
 
-    The monolithic render() jit hits an XLA:TPU scheduling pathology at
-    large operating points: at compact=2^17/kmax=16 with 65k anchors the
-    fused graph takes ~22.6 ms/frame while the stage-level device work
-    totals ~2.4 ms (measured in scripts/profile_fullmap_compose.py —
-    chained stage jits: 2.4 ms/frame, 420 FPS; identical ops, identical
-    output). Async dispatch pipelines the three calls back-to-back, so the
-    per-call latency is hidden exactly like the fused version.
+    SUPERSEDED by EvalRenderer for production eval: the round-2 finding
+    that motivated the split ("fused 22.6 ms vs chained 2.4 ms") was an
+    async-ack measurement artifact (PERF_NOTES.md) — with true synchronous
+    timing the fused single jit wins. The chained form is kept because its
+    separable stages are the test/profiling surface (per-stage parity
+    oracles, real-map stage attribution).
 
     Stages: decode (prefilter + neural-gaussian MLPs) -> project
     (cov3d + preprocess + feature/aux assembly) -> blend (compaction +

@@ -496,14 +496,14 @@ class Trainer:
     # --- evaluation (reference: renderAndRecordKeyframe,
     # src/gaussian_mapper.cpp:1769-1907) ---
     def _eval_render(self):
-        """Chained multi-jit eval renderer (see ChainedEvalRenderer: the
-        fused render() jit hits an XLA scheduling pathology at large
-        operating points — 22.6 ms/frame fused vs 2.4 ms chained at
-        compact=2^17, identical ops)."""
+        """Fused single-jit eval renderer with packed binning sorts
+        (EvalRenderer): true-sync timing showed one dispatch beats the
+        round-2 three-stage chain — see PERF_NOTES.md for why the old
+        chained-vs-fused comparison was an async-ack artifact."""
         if not hasattr(self, "_eval_render_chain"):
-            from segs_slam_tpu.models.renderer import ChainedEvalRenderer
+            from segs_slam_tpu.models.renderer import EvalRenderer
 
-            self._eval_render_chain = ChainedEvalRenderer(
+            self._eval_render_chain = EvalRenderer(
                 self.model_config, self.raster_config, self.width,
                 self.height, self._bg, interpret=self.interpret)
         return self._eval_render_chain

@@ -91,6 +91,25 @@ def test_packed_matches_unpacked_dual_rate():
     np.testing.assert_allclose(packed, ref, atol=2e-2)
 
 
+def test_fused_eval_renderer_matches_chained():
+    """EvalRenderer (one fused jit, packed sorts) must match the chained
+    packed renderer exactly — identical ops, different jit partitioning."""
+    from segs_slam_tpu.models.renderer import EvalRenderer
+
+    mc, anchors, decoders, cam_in, w, h = _scene(seed=11)
+    bg = jnp.zeros(3)
+    rc = RasterConfig(tile=16, compact=256, kmax=8, chunk=64,
+                      ksmall=2, nlarge=64)
+    chained = ChainedEvalRenderer(mc, rc, w, h, bg, interpret=True,
+                                  packed=True)(anchors, decoders, cam_in)
+    fused = EvalRenderer(mc, rc, w, h, bg,
+                         interpret=True)(anchors, decoders, cam_in)
+    assert fused.shape == (3, h, w)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(chained),
+                               atol=1e-6)
+    assert float(jnp.max(fused)) > 0.0
+
+
 def test_packed_instance_sets_identical():
     """Same instances in the same tiles: compare tile_start/stop and
     num_instances between the packed and reference binning pipelines."""
