@@ -137,8 +137,11 @@ class EvalRenderer:
         npix = rc.tile * rc.tile
         static = (rc, tx, ty, npix, interpret)
         bg = jnp.asarray(bg, jnp.float32)
+        # packed needs 16px tiles, <=63 tile columns (rect_w packs into 6
+        # bits) and kmax <= 31 (touched packs into 5 bits)
         blend_fn = (binned_blend_eval
-                    if packed and rc.tile == 16 else binned_blend)
+                    if packed and rc.tile == 16 and tx <= 63
+                    and rc.kmax <= 31 else binned_blend)
 
         @jax.jit
         def _render(anchors, decoders, cam):
@@ -220,10 +223,13 @@ class ChainedEvalRenderer:
 
         # packed=True halves the binning-sort bandwidth (the dominant
         # eval-path cost on real maps) via f16-pair payload packing; see
-        # binning.py packed section for the precision analysis. The training
-        # path always keeps full-f32 sorts. packed needs 16px tiles.
+        # binning.py packed section for the precision analysis and its
+        # tile/kmax/width limits. The training path always keeps full-f32
+        # sorts.
+        _tx = raster_config.grid(width, height)[0]
         blend_fn = (binned_blend_eval
-                    if packed and raster_config.tile == 16 else binned_blend)
+                    if packed and raster_config.tile == 16 and _tx <= 63
+                    and raster_config.kmax <= 31 else binned_blend)
 
         mc, rc = model_config, raster_config
         if interpret is None:

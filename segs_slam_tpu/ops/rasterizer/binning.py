@@ -247,9 +247,10 @@ def expand_and_sort(
 #   p_cab  = f16(conic.a) | f16(conic.b) << 16
 #   p_cco  = f16(conic.c) | f16(opacity) << 16
 #   p_rg   = f16(r) | f16(g) << 16
-#   p_b    = f16(b)            (high half spare)
-#   dmeta  = depth_key(21 bits) | min(touched, kmax) << 21
-#   rects  = rect_min_x | rect_min_y << 8 | rect_w << 16
+#   p_b    = f16(b) | rect_min_x << 16 | rect_min_y << 24
+#   dmeta  = depth_key(21 bits) | min(touched, kmax) << 21 | rect_w << 26
+#            (rect_w needs 6 bits -> tile-grid width <= 63, i.e. images up
+#            to 1008 px wide at 16 px tiles; kmax <= 31)
 #
 # Precision: mean2d is RECT-RELATIVE (f16 ulp <= 0.25 px within a
 # kmax-clamped footprint; one more rounding when re-based to the instance
@@ -288,17 +289,16 @@ class PackedCompact(NamedTuple):
     p_cab: jnp.ndarray  # (compact,) u32
     p_cco: jnp.ndarray  # (compact,) u32
     p_rg: jnp.ndarray  # (compact,) u32
-    p_b: jnp.ndarray  # (compact,) u32
-    dmeta: jnp.ndarray  # (compact,) u32 = depth_key | touched << 21
-    rects: jnp.ndarray  # (compact,) u32 = rmx | rmy<<8 | rw<<16
+    p_b: jnp.ndarray  # (compact,) u32 — f16 b | rmx<<16 | rmy<<24
+    dmeta: jnp.ndarray  # (compact,) u32 = dkey | touched<<21 | rw<<26
     valid: jnp.ndarray  # (compact,) bool
     num_valid: jnp.ndarray  # () int32
 
 
 def compact_gaussians_packed(feats, aux, config: RasterConfig):
-    """Opacity-priority compaction with packed payloads (8 sort operands vs
+    """Opacity-priority compaction with packed payloads (7 sort operands vs
     16 in compact_gaussians). Same key semantics; no orig_id (eval only)."""
-    assert config.kmax < 1 << 10, "touched field packs into dmeta bits 21+"
+    assert config.kmax <= 31, "touched packs into dmeta bits 21..25"
     alive = aux["alive"]
     n = alive.shape[0]
     nc = config.compact
@@ -313,13 +313,13 @@ def compact_gaussians_packed(feats, aux, config: RasterConfig):
     key = jnp.where(alive & jnp.isfinite(op), opac_q, jnp.uint32(1 << 24))
     rmx = jnp.clip(aux["rect_min_x"], 0, 255).astype(jnp.uint32)
     rmy = jnp.clip(aux["rect_min_y"], 0, 255).astype(jnp.uint32)
-    rw = jnp.clip(aux["rect_w"], 0, 255).astype(jnp.uint32)
+    rw = jnp.clip(aux["rect_w"], 0, 63).astype(jnp.uint32)
     touched = jnp.clip(aux["touched"], 0, config.kmax).astype(jnp.uint32)
-    rects = rmx | (rmy << 8) | (rw << 16)
     # depth of dead slots may be garbage/negative: force a positive value so
     # the 21-bit key stays monotonic-safe (dead slots never expand anyway)
     depth_safe = jnp.where(alive, aux["depth"], 1.0)
-    dmeta = _depth_key(depth_safe) | (touched << DEPTH_KEY_BITS)
+    dmeta = (_depth_key(depth_safe) | (touched << DEPTH_KEY_BITS)
+             | (rw << (DEPTH_KEY_BITS + 5)))
     ts = 16.0
     p_xy = _pack2f16(x - rmx.astype(jnp.float32) * ts,
                      y - rmy.astype(jnp.float32) * ts)
@@ -330,9 +330,8 @@ def compact_gaussians_packed(feats, aux, config: RasterConfig):
             _pack2f16(ca, cb),
             _pack2f16(cc, op),
             _pack2f16(r, g),
-            _pack2f16(b, jnp.zeros_like(b)),
+            _pack2f16(b, jnp.zeros_like(b)) | (rmx << 16) | (rmy << 24),
             dmeta,
-            rects,
         ),
         num_keys=1,
         is_stable=True,
@@ -347,7 +346,6 @@ def compact_gaussians_packed(feats, aux, config: RasterConfig):
         p_rg=out[4][:nc],
         p_b=out[5][:nc],
         dmeta=dmeta_s,
-        rects=out[7][:nc],
         valid=valid,
         num_valid=jnp.sum(alive.astype(jnp.int32)),
     )
@@ -357,12 +355,12 @@ def _expand_grid_packed(cols, nc, k_lo, k_hi, tx, num_tiles):
     """Instance columns for slots [k_lo, k_hi): fused u32 (tile, depth) key
     + packed payloads, with mean2d re-based from rect-relative to
     TILE-relative per instance. cols = (p_xy, p_cab, p_cco, p_rg, p_b,
-    dmeta, rects)."""
-    p_xy, p_cab, p_cco, p_rg, p_b, dmeta, rects = cols
-    rmx = (rects & 0xFF).astype(jnp.int32)
-    rmy = ((rects >> 8) & 0xFF).astype(jnp.int32)
-    rw_ = ((rects >> 16) & 0xFF).astype(jnp.int32)
-    touched = (dmeta >> DEPTH_KEY_BITS).astype(jnp.int32)
+    dmeta)."""
+    p_xy, p_cab, p_cco, p_rg, p_b, dmeta = cols
+    rmx = ((p_b >> 16) & 0xFF).astype(jnp.int32)
+    rmy = ((p_b >> 24) & 0xFF).astype(jnp.int32)
+    rw_ = ((dmeta >> (DEPTH_KEY_BITS + 5)) & 0x3F).astype(jnp.int32)
+    touched = ((dmeta >> DEPTH_KEY_BITS) & 0x1F).astype(jnp.int32)
     dkey = dmeta & ((1 << DEPTH_KEY_BITS) - 1)
 
     kw = k_hi - k_lo
@@ -403,10 +401,10 @@ def expand_and_sort_packed(pc: PackedCompact, num_tiles_x: int,
     num_tiles = num_tiles_x * num_tiles_y
     assert (num_tiles + 1) << DEPTH_KEY_BITS < (1 << 32), \
         "tile id must fit above the 21-bit depth key"
+    assert tx <= 63, "rect_w packs into 6 dmeta bits (image width <= 1008)"
 
-    cols = (pc.p_xy, pc.p_cab, pc.p_cco, pc.p_rg, pc.p_b, pc.dmeta,
-            pc.rects)
-    touched = (pc.dmeta >> DEPTH_KEY_BITS).astype(jnp.int32)
+    cols = (pc.p_xy, pc.p_cab, pc.p_cco, pc.p_rg, pc.p_b, pc.dmeta)
+    touched = ((pc.dmeta >> DEPTH_KEY_BITS) & 0x1F).astype(jnp.int32)
 
     if config.ksmall:
         ks, nl = config.ksmall, config.nlarge
@@ -420,7 +418,8 @@ def expand_and_sort_packed(pc: PackedCompact, num_tiles_x: int,
         ukey = jnp.concatenate([ukey_s, ukey_l])
         pays = tuple(jnp.concatenate([a, b])
                      for a, b in zip(pays_s, pays_l))
-        touched_l = (cols_l[5] >> DEPTH_KEY_BITS).astype(jnp.int32)
+        touched_l = ((cols_l[5] >> DEPTH_KEY_BITS) & 0x1F).astype(
+            jnp.int32)
         num_instances = jnp.sum(jnp.minimum(touched, ks)) + jnp.sum(
             jnp.maximum(touched_l - ks, 0))
         num_large = jnp.sum((touched > ks).astype(jnp.int32))

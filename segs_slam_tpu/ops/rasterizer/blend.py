@@ -448,12 +448,12 @@ def _bwd_kernel(
 
 
 def _pallas_call(kernel, static, out_shapes, out_specs, in_specs, scratch,
-                 io_aliases=None):
+                 io_aliases=None, grid=None):
     cfg, tx, ty, npix, interpret = static
     nt = tx * ty
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nt,),
+        grid=(nt,) if grid is None else grid,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -468,6 +468,124 @@ def _pallas_call(kernel, static, out_shapes, out_specs, in_specs, scratch,
         interpret=interpret,
         **kwargs,
     )
+
+
+def _fwd_kernel_eval(
+    # scalar prefetch
+    start_ref,
+    stop_ref,
+    # inputs
+    feats_hbm,  # [NFEAT, NK + chunk] in HBM, (tile, depth)-sorted
+    bg_ref,  # [3, 1] VMEM
+    # outputs
+    color_ref,  # [SUP, 3, P]
+    # scratch
+    chunk_vmem,  # [2, NFEAT, C]
+    dma_sem,
+    *,
+    cfg,
+    tx,
+    npix,
+    sup,
+):
+    """Multi-tile color-only forward: SUP horizontally-adjacent tiles per
+    grid step, processed SEQUENTIALLY inside the step. The single-tile
+    kernel's cost is ~75% per-grid-step overhead (~4.9 us/step floor
+    measured with empty occupancy), so batching SUP tiles per step divides
+    that floor by SUP. Processing them sequentially (not stacked on the
+    sublane axis) keeps the MXU prefix-product at [npix, C] per tile — a
+    sublane-stacked variant wastes (SUP-1)/SUP of the matmul on pixels the
+    instance can never touch and measured no faster than single-tile.
+    Eval-only: no depth/final_T/n_contrib outputs (fewer per-step
+    write-backs); the training path keeps _fwd_kernel."""
+    i = pl.program_id(0)
+    t0 = i * sup
+    ch = cfg.chunk
+    tri_i = _tri_incl(ch)
+    bg = bg_ref[:, :]  # [3, 1]
+
+    tile_y = t0 // tx
+    oy = (tile_y * cfg.tile).astype(jnp.float32)
+    p = lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
+    px0 = (p % cfg.tile).astype(jnp.float32)
+    py = (p // cfg.tile).astype(jnp.float32)
+    basis = _pixel_basis(px0, py)  # tile-local; ox shifts move the origin
+
+    for s in range(sup):
+        t = t0 + s
+        start = start_ref[t]
+        stop = stop_ref[t]
+        astart = (start // ch) * ch
+        lo = start - astart
+        hi = stop - astart
+        ox = ((t - tile_y * tx) * cfg.tile).astype(jnp.float32)
+
+        def dma(ci, astart=astart):
+            off = pl.multiple_of(astart + ci * ch, ch)
+            return pltpu.make_async_copy(
+                feats_hbm.at[:, pl.ds(off, ch)], chunk_vmem.at[ci % 2],
+                dma_sem.at[ci % 2]
+            )
+
+        @pl.when(hi > 0)
+        def _():
+            dma(0).start()
+
+        def body(ci, carry, dma=dma, lo=lo, hi=hi, ox=ox):
+            T, C, done = carry
+            base = ci * ch
+
+            @pl.when((ci + 1) * ch < hi)
+            def _():
+                dma(ci + 1).start()
+
+            dma(ci).wait()
+            chunk = chunk_vmem[ci % 2, :, :]
+
+            alpha, _ = _chunk_alpha_mxu(chunk, basis, ox, oy, lo, hi, base,
+                                        cfg)
+            om = 1.0 - alpha
+            cum = _prefix_prod_lane(om, tri_i)
+            test_t = T * cum
+            accept = (test_t >= cfg.transmittance_min) & (done < 0.5)
+            t_before = T * cum / om
+            w = jnp.where(accept, alpha * t_before, 0.0)
+
+            colors = chunk[F_R : F_B + 1, :]
+            C = C + lax.dot_general(
+                colors, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            T = jnp.min(jnp.where(accept, test_t, T), axis=1, keepdims=True)
+            done = jnp.maximum(
+                done,
+                jnp.max(
+                    jnp.where((alpha > 0.0) & jnp.logical_not(accept), 1.0,
+                              0.0),
+                    axis=1,
+                    keepdims=True,
+                ),
+            )
+            return T, C, done
+
+        def cond(state, hi=hi):
+            ci, (_, _, done) = state
+            return (ci * ch < hi) & (jnp.min(done) < 0.5)
+
+        def step(state, body=body):
+            ci, carry = state
+            return ci + 1, body(ci, carry)
+
+        T0 = jnp.ones((npix, 1), jnp.float32)
+        C0 = jnp.zeros((3, npix), jnp.float32)
+        done0 = jnp.zeros((npix, 1), jnp.float32)
+        ci_end, (T, C, _) = lax.while_loop(cond, step, (0, (T0, C0, done0)))
+
+        @pl.when(ci_end * ch < hi)
+        def _():
+            dma(ci_end).wait()
+
+        color_ref[s, :, :] = C + bg * T.reshape(1, npix)
 
 
 def binned_blend_eval(feats, aux, bg, static):
@@ -492,19 +610,11 @@ def binned_blend_eval(feats, aux, bg, static):
     nk = cfg.max_instances
     feats_hbm = _stack_feats(feats_sorted, nk, cfg.chunk)
 
-    kern = functools.partial(_fwd_kernel, cfg=cfg, tx=tx, npix=npix)
-    out_shapes = (
-        jax.ShapeDtypeStruct((nt, 3, npix), jnp.float32),
-        jax.ShapeDtypeStruct((nt, 1, npix), jnp.float32),
-        jax.ShapeDtypeStruct((nt, 1, npix), jnp.float32),
-        jax.ShapeDtypeStruct((nt, 1, npix), jnp.int32),
-    )
-    out_specs = (
-        pl.BlockSpec((1, 3, npix), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),
-    )
+    # tiles per grid step: largest of 8/4/2 dividing the tile-grid width
+    # (grid rows stay aligned so each step's SUP tiles are horizontally
+    # adjacent with contiguous instance ranges); VMEM stays flat in SUP
+    # because subtiles run sequentially with [npix, chunk] state
+    sup = next((s for s in (8, 4, 2) if tx % s == 0), 1)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -513,12 +623,16 @@ def binned_blend_eval(feats, aux, bg, static):
         pltpu.VMEM((2, NFEAT, cfg.chunk), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    kern = functools.partial(_fwd_kernel_eval, cfg=cfg, tx=tx, npix=npix,
+                             sup=sup)
+    out_shapes = (jax.ShapeDtypeStruct((nt, 3, npix), jnp.float32),)
+    out_specs = (pl.BlockSpec((sup, 3, npix), lambda i, *_: (i, 0, 0)),)
     call = _pallas_call(kern, static, out_shapes, out_specs, in_specs,
-                        scratch)
-    color, final_t, depth_img, ncontrib = call(
-        tile_start, tile_stop, feats_hbm, bg.reshape(3, 1)
-    )
-    return (color, final_t, depth_img, ncontrib, num_instances, pc.num_valid)
+                        scratch, grid=(nt // sup,))
+    (color,) = call(tile_start, tile_stop, feats_hbm, bg.reshape(3, 1))
+    zeros1 = jnp.zeros((nt, 1, npix), jnp.float32)
+    return (color, zeros1, zeros1, zeros1.astype(jnp.int32), num_instances,
+            pc.num_valid)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

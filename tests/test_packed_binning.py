@@ -91,6 +91,37 @@ def test_packed_matches_unpacked_dual_rate():
     np.testing.assert_allclose(packed, ref, atol=2e-2)
 
 
+def test_packed_supertile_matches_unpacked():
+    """Width 128 -> tile grid 8x2 -> the supertile (SUP=4) eval kernel path:
+    per-pixel [lo, hi) windows must reproduce the single-tile kernel."""
+    mc = ModelConfig(feat_dim=8, n_offsets=4, appearance_dim=0,
+                     embedding_dim=4, capacity=64, voxel_size=0.05)
+    rng = np.random.default_rng(9)
+    anchors, _ = insert_points(
+        empty_state(mc), rng.uniform([-2, -1, 2], [2, 1, 5], (40, 3)), mc
+    )
+    anchors = anchors._replace(
+        scaling=jnp.full_like(anchors.scaling, np.log(0.3)))
+    decoders = init_decoders(jax.random.PRNGKey(0), mc)
+    w, h = 128, 32
+    cam = Camera(camera_id=0, width=w, height=h, fx=60.0, fy=60.0,
+                 cx=w / 2, cy=h / 2)
+    kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
+    cam_in = {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
+    bg = jnp.zeros(3)
+    rc = RasterConfig(tile=16, compact=256, kmax=8, chunk=64,
+                      ksmall=2, nlarge=64)
+    assert rc.grid(w, h)[0] % 4 == 0  # exercises SUP=4
+    ref = ChainedEvalRenderer(mc, rc, w, h, bg, interpret=True,
+                              packed=False)(anchors, decoders, cam_in)
+    packed = ChainedEvalRenderer(mc, rc, w, h, bg, interpret=True,
+                                 packed=True)(anchors, decoders, cam_in)
+    assert float(jnp.max(ref)) > 0.0
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
+                               atol=2e-2)
+    assert np.abs(np.asarray(packed) - np.asarray(ref)).mean() < 2e-3
+
+
 def test_fused_eval_renderer_matches_chained():
     """EvalRenderer (one fused jit, packed sorts) must match the chained
     packed renderer exactly — identical ops, different jit partitioning."""
