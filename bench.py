@@ -17,10 +17,19 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _force_sync_mode():
+    """One device->host read flips the axon-tunneled runtime from
+    async-ack (block_until_ready returns at dispatch-acknowledge — timings
+    are fiction) to genuine completion tracking. See PERF_NOTES.md."""
+    np.asarray(jnp.zeros(8) + 1.0)
+
+
 def main():
     from segs_slam_tpu.core import Camera
     from segs_slam_tpu.core.keyframe import Keyframe
     from segs_slam_tpu.ops.rasterizer import RasterConfig, rasterize
+
+    _force_sync_mode()
 
     width, height, n = 640, 480, 100_000
     rng = np.random.default_rng(0)
@@ -80,7 +89,11 @@ def main():
 
     mapping = _mapping_throughput()
     mapping["render_fps_dual_rate"] = round(fps_dual, 2)
-    mapping["render_fps_fullmap_chained"] = _fullmap_chained_fps()
+    # the recorder's render_time.txt path (fused packed EvalRenderer) at
+    # the headline 30k-run operating point (32k anchors) and the full-map
+    # 65k point
+    mapping["render_fps_eval_32k"] = _eval_fps(2**15, 2**16, 2**13)
+    mapping["render_fps_eval_fullmap_65k"] = _eval_fps(2**16, 2**17, 2**13)
 
     print(json.dumps({
         "metric": "render_fps_640x480_100k",
@@ -91,11 +104,11 @@ def main():
     }))
 
 
-def _fullmap_chained_fps():
-    """Eval-path FPS at the FULL-MAP operating point (65k anchors x 10
-    offsets, compact 2^17, kmax 16, dual-rate) through ChainedEvalRenderer —
-    the path the recorder's render_time.txt measures (VERDICT r2 missing #1:
-    the fused jit reads 23.5 FPS here; the chained path ~420)."""
+def _eval_fps(cap, compact, nlarge):
+    """Eval-path FPS through the fused packed EvalRenderer — the exact path
+    the recorder's render_time.txt measures (trainer.py _eval_render_chain).
+    cap=2^15/compact=2^16 is the committed headline 30k-run operating point;
+    cap=2^16/compact=2^17 is the full-map point (VERDICT r2 missing #1)."""
     import traceback
 
     try:
@@ -104,10 +117,10 @@ def _fullmap_chained_fps():
         from segs_slam_tpu.models.anchors import empty_state
         from segs_slam_tpu.models.config import ModelConfig
         from segs_slam_tpu.models.decoders import init_decoders
-        from segs_slam_tpu.models.renderer import ChainedEvalRenderer
+        from segs_slam_tpu.models.renderer import EvalRenderer
         from segs_slam_tpu.ops.rasterizer import RasterConfig
 
-        width, height, cap = 640, 480, 2**16
+        width, height = 640, 480
         mc = ModelConfig(capacity=cap)
         rng = np.random.default_rng(0)
         st = empty_state(mc)
@@ -128,9 +141,9 @@ def _fullmap_chained_fps():
         kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0],
                       trans=[0, 0, 0])
         cam_in = {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
-        rc = RasterConfig(tile=16, compact=2**17, kmax=16, chunk=256,
-                          ksmall=4, nlarge=2**13)
-        chain = ChainedEvalRenderer(mc, rc, width, height, jnp.zeros(3))
+        rc = RasterConfig(tile=16, compact=compact, kmax=16, chunk=256,
+                          ksmall=4, nlarge=nlarge)
+        chain = EvalRenderer(mc, rc, width, height, jnp.zeros(3))
         img = chain(anchors, decoders, cam_in)
         jax.block_until_ready(img)
         iters = 50

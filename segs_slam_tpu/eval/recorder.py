@@ -165,17 +165,24 @@ def record_all_frames(trainer, out_dir: str | Path, frames, est_poses,
     idxs = [i for i, p in enumerate(est_poses[: len(frames)])
             if p is not None]
     psnrs, dssims, psnr_gs, render_ms, rows = [], [], [], [], []
-    # warm the jits outside any timed region
+    # warm BOTH jits outside any timed region (a cold `chain` would fold
+    # its compile time into the first timed batch and poison the mean)
     if idxs:
         cam, gt = _inputs(frames[idxs[0]], est_poses[idxs[0]])
         jax.block_until_ready(
             fn(trainer.state.anchors, trainer.state.decoders, cam, gt))
+        jax.block_until_ready(
+            chain(trainer.state.anchors, trainer.state.decoders, cam))
 
     for b0 in range(0, len(idxs), batch):
         chunk = idxs[b0 : b0 + batch]
         inputs = [_inputs(frames[i], est_poses[i]) for i in chunk]
-        # pure-render timing (reference render_time semantics: forward
-        # render only, gt transfer + metrics outside the clock)
+        # Drain the async host->device transfers (the gt images are ~4 MB
+        # each; over the tunneled runtime they'd otherwise complete INSIDE
+        # the timed region and dominate it) — reference render_time
+        # semantics time the forward render only, gt transfer + metrics
+        # outside the clock.
+        jax.block_until_ready(inputs)
         t0 = time.perf_counter()
         timed = [chain(trainer.state.anchors, trainer.state.decoders, cam)
                  for cam, _ in inputs]

@@ -51,6 +51,13 @@ NFEAT = 16
 F_X, F_Y, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_D = range(10)
 
 
+def _pick_sup(tx):
+    """Tiles per grid step: largest of 8/4/2 dividing the tile-grid width,
+    so each step's subtiles stay horizontally adjacent within one tile row
+    (contiguous instance ranges, shared oy)."""
+    return next((s for s in (8, 4, 2) if tx % s == 0), 1)
+
+
 def _tri_incl(c):
     """[C, C] lower-triangular-ones (k <= j): inclusive prefix along lanes
     when used as  out[p, j] = sum_k x[p, k] * tri[k, j]."""
@@ -167,127 +174,150 @@ def _fwd_kernel(
     feats_hbm,  # [NFEAT, NK + chunk] in HBM, (tile, depth)-sorted
     bg_ref,  # [3, 1] VMEM
     # outputs
-    color_ref,  # [1, 3, P]
-    final_t_ref,  # [1, 1, P]
-    depth_ref,  # [1, 1, P] expected depth (sum w_i * depth_i)
-    ncontrib_ref,  # [1, 1, P]
+    color_ref,  # [SUP, 3, P]
+    final_t_ref,  # [SUP, 1, P]
+    depth_ref,  # [SUP, 1, P] expected depth (sum w_i * depth_i)
+    ncontrib_ref,  # [SUP, 1, P]
     # scratch
-    chunk_vmem,  # [NFEAT, C]
+    chunk_vmem,  # [2, NFEAT, C]
     dma_sem,
     *,
     cfg,
     tx,
     npix,
+    sup,
 ):
-    t = pl.program_id(0)
-    start = start_ref[t]
-    stop = stop_ref[t]
+    """Training forward: SUP horizontally-adjacent tiles per grid step,
+    processed sequentially (same rationale as _fwd_kernel_eval: the
+    single-tile kernel is ~75% per-grid-step overhead; SUP tiles per step
+    divide that floor by SUP while keeping the MXU prefix-product at
+    [npix, C] per tile)."""
+    i = pl.program_id(0)
+    t0 = i * sup
     ch = cfg.chunk
-    astart = (start // ch) * ch
-    lo = start - astart
-    hi = stop - astart
-
-    px, py, ox, oy = _pixel_coords(t, tx, cfg.tile, npix)
-    basis = _pixel_basis(px, py)
     tri_i = _tri_incl(ch)
-
-    def dma(ci):
-        off = pl.multiple_of(astart + ci * ch, ch)
-        return pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(off, ch)], chunk_vmem.at[ci % 2], dma_sem.at[ci % 2]
-        )
-
-    # Double-buffered: chunk ci's DMA is started by the previous iteration
-    # (or the warm-up); each iteration prefetches ci+1 before computing ci.
-    @pl.when(hi > 0)
-    def _():
-        dma(0).start()
-
-    def body(ci, carry):
-        T, C, D, nc, done = carry
-        base = ci * ch
-
-        @pl.when((ci + 1) * ch < hi)
-        def _():
-            dma(ci + 1).start()
-
-        dma(ci).wait()
-        chunk = chunk_vmem[ci % 2, :, :]
-
-        alpha, _ = _chunk_alpha_mxu(chunk, basis, ox, oy, lo, hi, base, cfg)
-        om = 1.0 - alpha
-        cum = _prefix_prod_lane(om, tri_i)  # [P, C] inclusive
-        test_t = T * cum
-        # done rides the carry as f32 0/1 (Mosaic cannot yield i1 vectors
-        # from a while loop)
-        accept = (test_t >= cfg.transmittance_min) & (done < 0.5)
-        t_before = T * cum / om  # exclusive prefix (om >= 1 - alpha_clamp)
-        w = jnp.where(accept, alpha * t_before, 0.0)  # [P, C]
-
-        colors = chunk[F_R : F_B + 1, :]  # [3, C]
-        contrib = lax.dot_general(
-            colors, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [3, P]
-        C = C + contrib
-        D = D + jnp.sum(chunk[F_D : F_D + 1, :] * w, axis=1, keepdims=True)
-
-        # T_out = smallest accepted test_t (accept is a prefix per pixel).
-        T = jnp.min(jnp.where(accept, test_t, T), axis=1, keepdims=True)
-
-        # CUDA latches termination at the FIRST threshold crossing
-        # (forward.cu:425-429: done = true, never resumes). Without the
-        # latch, the rejected high-alpha instance's transmittance is never
-        # folded into T, the next chunk's cum restarts at 1, and acceptance
-        # resumes — producing (final_T, n_contrib) pairs whose accepted-set
-        # suffix products underflow f32 in the backward (t_before = T/sp
-        # blows up to inf). The latch restores the reference's prefix
-        # semantics exactly.
-        done = jnp.maximum(
-            done,
-            jnp.max(
-                jnp.where((alpha > 0.0) & jnp.logical_not(accept), 1.0, 0.0),
-                axis=1,
-                keepdims=True,
-            ),
-        )
-
-        accepted = accept & (alpha > 0.0)
-        # local contributor index within [start, stop)
-        idx1 = lax.broadcasted_iota(jnp.int32, accepted.shape, 1) + base - lo + 1
-        nc = jnp.maximum(
-            nc, jnp.max(jnp.where(accepted, idx1, 0), axis=1, keepdims=True)
-        )
-        return T, C, D, nc, done
-
-    def cond(state):
-        ci, (_, _, _, _, done) = state
-        return (ci * ch < hi) & (jnp.min(done) < 0.5)
-
-    def step(state):
-        ci, carry = state
-        return ci + 1, body(ci, carry)
-
-    T0 = jnp.ones((npix, 1), jnp.float32)
-    C0 = jnp.zeros((3, npix), jnp.float32)
-    D0 = jnp.zeros((npix, 1), jnp.float32)
-    nc0 = jnp.zeros((npix, 1), jnp.int32)
-    done0 = jnp.zeros((npix, 1), jnp.float32)
-    ci_end, (T, C, D, nc, _) = lax.while_loop(
-        cond, step, (0, (T0, C0, D0, nc0, done0))
-    )
-
-    # Early exit leaves the prefetched DMA for ci_end in flight; consume it
-    # so the next grid step's semaphores start clean.
-    @pl.when(ci_end * ch < hi)
-    def _():
-        dma(ci_end).wait()
-
     bg = bg_ref[:, :]  # [3, 1]
-    color_ref[0, :, :] = C + bg * T.reshape(1, npix)
-    final_t_ref[0, 0, :] = T.reshape(npix)
-    depth_ref[0, 0, :] = D.reshape(npix)
-    ncontrib_ref[0, 0, :] = nc.reshape(npix)
+
+    # sup divides tx, so all SUP subtiles share one tile row (same oy).
+    tile_y = t0 // tx
+    oy = (tile_y * cfg.tile).astype(jnp.float32)
+    p = lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
+    px0 = (p % cfg.tile).astype(jnp.float32)
+    py = (p // cfg.tile).astype(jnp.float32)
+    basis = _pixel_basis(px0, py)  # tile-local; ox shifts move the origin
+
+    for s in range(sup):
+        t = t0 + s
+        start = start_ref[t]
+        stop = stop_ref[t]
+        astart = (start // ch) * ch
+        lo = start - astart
+        hi = stop - astart
+        ox = ((t - tile_y * tx) * cfg.tile).astype(jnp.float32)
+
+        def dma(ci, astart=astart):
+            off = pl.multiple_of(astart + ci * ch, ch)
+            return pltpu.make_async_copy(
+                feats_hbm.at[:, pl.ds(off, ch)], chunk_vmem.at[ci % 2],
+                dma_sem.at[ci % 2]
+            )
+
+        # Double-buffered: chunk ci's DMA is started by the previous
+        # iteration (or the warm-up); each iteration prefetches ci+1 before
+        # computing ci.
+        @pl.when(hi > 0)
+        def _():
+            dma(0).start()
+
+        def body(ci, carry, dma=dma, lo=lo, hi=hi, ox=ox):
+            T, C, D, nc, done = carry
+            base = ci * ch
+
+            @pl.when((ci + 1) * ch < hi)
+            def _():
+                dma(ci + 1).start()
+
+            dma(ci).wait()
+            chunk = chunk_vmem[ci % 2, :, :]
+
+            alpha, _ = _chunk_alpha_mxu(chunk, basis, ox, oy, lo, hi, base,
+                                        cfg)
+            om = 1.0 - alpha
+            cum = _prefix_prod_lane(om, tri_i)  # [P, C] inclusive
+            test_t = T * cum
+            # done rides the carry as f32 0/1 (Mosaic cannot yield i1
+            # vectors from a while loop)
+            accept = (test_t >= cfg.transmittance_min) & (done < 0.5)
+            t_before = T * cum / om  # exclusive prefix (om >= 1 - clamp)
+            w = jnp.where(accept, alpha * t_before, 0.0)  # [P, C]
+
+            colors = chunk[F_R : F_B + 1, :]  # [3, C]
+            contrib = lax.dot_general(
+                colors, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [3, P]
+            C = C + contrib
+            D = D + jnp.sum(chunk[F_D : F_D + 1, :] * w, axis=1,
+                            keepdims=True)
+
+            # T_out = smallest accepted test_t (accept is a prefix/pixel).
+            T = jnp.min(jnp.where(accept, test_t, T), axis=1, keepdims=True)
+
+            # CUDA latches termination at the FIRST threshold crossing
+            # (forward.cu:425-429: done = true, never resumes). Without the
+            # latch, the rejected high-alpha instance's transmittance is
+            # never folded into T, the next chunk's cum restarts at 1, and
+            # acceptance resumes — producing (final_T, n_contrib) pairs
+            # whose accepted-set suffix products underflow f32 in the
+            # backward (t_before = T/sp blows up to inf). The latch restores
+            # the reference's prefix semantics exactly.
+            done = jnp.maximum(
+                done,
+                jnp.max(
+                    jnp.where((alpha > 0.0) & jnp.logical_not(accept), 1.0,
+                              0.0),
+                    axis=1,
+                    keepdims=True,
+                ),
+            )
+
+            accepted = accept & (alpha > 0.0)
+            # local contributor index within [start, stop)
+            idx1 = (lax.broadcasted_iota(jnp.int32, accepted.shape, 1)
+                    + base - lo + 1)
+            nc = jnp.maximum(
+                nc, jnp.max(jnp.where(accepted, idx1, 0), axis=1,
+                            keepdims=True)
+            )
+            return T, C, D, nc, done
+
+        def cond(state, hi=hi):
+            ci, (_, _, _, _, done) = state
+            return (ci * ch < hi) & (jnp.min(done) < 0.5)
+
+        def step(state, body=body):
+            ci, carry = state
+            return ci + 1, body(ci, carry)
+
+        T0 = jnp.ones((npix, 1), jnp.float32)
+        C0 = jnp.zeros((3, npix), jnp.float32)
+        D0 = jnp.zeros((npix, 1), jnp.float32)
+        nc0 = jnp.zeros((npix, 1), jnp.int32)
+        done0 = jnp.zeros((npix, 1), jnp.float32)
+        ci_end, (T, C, D, nc, _) = lax.while_loop(
+            cond, step, (0, (T0, C0, D0, nc0, done0))
+        )
+
+        # Early exit leaves the prefetched DMA for ci_end in flight; consume
+        # it so the next subtile/grid step's semaphores start clean.
+        @pl.when(ci_end * ch < hi)
+        def _(dma=dma, ci_end=ci_end):
+            dma(ci_end).wait()
+
+        color_ref[s, :, :] = C + bg * T.reshape(1, npix)
+        final_t_ref[s, 0, :] = T.reshape(npix)
+        depth_ref[s, 0, :] = D.reshape(npix)
+        ncontrib_ref[s, 0, :] = nc.reshape(npix)
 
 
 def _bwd_kernel(
@@ -313,138 +343,154 @@ def _bwd_kernel(
     cfg,
     tx,
     npix,
+    sup,
 ):
-    t = pl.program_id(0)
-    start = start_ref[t]
-    stop = stop_ref[t]
+    """Training backward: SUP subtiles per grid step (see _fwd_kernel).
+    Boundary chunks shared between adjacent subtiles stay race-free: the
+    per-chunk read-add-write below is fully serialized (acc.wait before the
+    add, out.wait before the next chunk), and subtiles run sequentially."""
+    i = pl.program_id(0)
+    t0 = i * sup
     ch = cfg.chunk
-    astart = (start // ch) * ch
-    lo = start - astart
-    hi = stop - astart
-
-    px, py, ox, oy = _pixel_coords(t, tx, cfg.tile, npix)
-    basis = _pixel_basis(px, py)
     tri_s = _tri_suffix(ch)
 
-    dldc = dldc_ref[0, :, :]  # [3, P]
-    final_t = final_t_ref[0, 0, :].reshape(npix, 1)
-    ncontrib = ncontrib_ref[0, 0, :].reshape(npix, 1)
+    tile_y = t0 // tx
+    oy = (tile_y * cfg.tile).astype(jnp.float32)
+    p = lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
+    px0 = (p % cfg.tile).astype(jnp.float32)
+    py = (p // cfg.tile).astype(jnp.float32)
+    basis = _pixel_basis(px0, py)
 
     bg = bg_ref[:, :]  # [3, 1]
-    bg_dot = jnp.sum(bg * dldc, axis=0).reshape(npix, 1)  # [P, 1]
 
-    # Chunks that ever contributed (skip the dead tail entirely).
-    last = jnp.max(ncontrib)
-    bound = jnp.minimum(lo + last, hi)
-    nchunks = (bound + ch - 1) // ch
+    for s in range(sup):
+        t = t0 + s
+        start = start_ref[t]
+        stop = stop_ref[t]
+        astart = (start // ch) * ch
+        lo = start - astart
+        hi = stop - astart
+        ox = ((t - tile_y * tx) * cfg.tile).astype(jnp.float32)
 
-    def dma_in(ci):
-        off = pl.multiple_of(astart + ci * ch, ch)
-        return pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(off, ch)], chunk_vmem.at[ci % 2],
-            in_sem.at[ci % 2],
-        )
+        dldc = dldc_ref[s, :, :]  # [3, P]
+        final_t = final_t_ref[s, 0, :].reshape(npix, 1)
+        ncontrib = ncontrib_ref[s, 0, :].reshape(npix, 1)
+        bg_dot = jnp.sum(bg * dldc, axis=0).reshape(npix, 1)  # [P, 1]
 
-    @pl.when(nchunks > 0)
-    def _():
-        dma_in(nchunks - 1).start()
+        # Chunks that ever contributed (skip the dead tail entirely).
+        last = jnp.max(ncontrib)
+        bound = jnp.minimum(lo + last, hi)
+        nchunks = (bound + ch - 1) // ch
 
-    def body(step_i, carry):
-        T_end, S = carry  # both [P, 1]
-        ci = nchunks - 1 - step_i
-        base = ci * ch
-        off = pl.multiple_of(astart + base, ch)
+        def dma_in(ci, astart=astart):
+            off = pl.multiple_of(astart + ci * ch, ch)
+            return pltpu.make_async_copy(
+                feats_hbm.at[:, pl.ds(off, ch)], chunk_vmem.at[ci % 2],
+                in_sem.at[ci % 2],
+            )
 
-        @pl.when(ci > 0)
+        @pl.when(nchunks > 0)
         def _():
-            dma_in(ci - 1).start()
+            dma_in(nchunks - 1).start()
 
-        dma_in(ci).wait()
-        chunk = chunk_vmem[ci % 2, :, :]
+        def body(step_i, carry, dma_in=dma_in, nchunks=nchunks,
+                 astart=astart, lo=lo, hi=hi, ox=ox, dldc=dldc,
+                 ncontrib=ncontrib):
+            T_end, S = carry  # both [P, 1]
+            ci = nchunks - 1 - step_i
+            base = ci * ch
+            off = pl.multiple_of(astart + base, ch)
 
-        alpha, opg = _chunk_alpha_mxu(chunk, basis, ox, oy, lo, hi, base, cfg)
-        idx = lax.broadcasted_iota(jnp.int32, alpha.shape, 1) + base - lo
-        m = idx < ncontrib  # accepted in forward (alpha already 0 if !ok)
-        alpha = jnp.where(m, alpha, 0.0)
-        opg = jnp.where(m, opg, 0.0)
-        om = 1.0 - alpha
+            @pl.when(ci > 0)
+            def _():
+                dma_in(ci - 1).start()
 
-        sp = _suffix_prod_lane(om, tri_s)  # prod_{k>=i}(1-a_k) [P, C]
-        t_before = T_end / sp
+            dma_in(ci).wait()
+            chunk = chunk_vmem[ci % 2, :, :]
 
-        colors = chunk[F_R : F_B + 1, :]  # [3, C]
-        g = lax.dot_general(
-            dldc, colors, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [P, C] = dL/dC . c_i
-        w = alpha * t_before
-        wg = w * g
-        suf = _suffix_sum_lane(wg, tri_s)
-        s_i = (suf - wg) + S  # sum_{k>i} w_k g_k  (+ later chunks + bg term)
+            alpha, opg = _chunk_alpha_mxu(chunk, basis, ox, oy, lo, hi, base, cfg)
+            idx = lax.broadcasted_iota(jnp.int32, alpha.shape, 1) + base - lo
+            m = idx < ncontrib  # accepted in forward (alpha already 0 if !ok)
+            alpha = jnp.where(m, alpha, 0.0)
+            opg = jnp.where(m, opg, 0.0)
+            om = 1.0 - alpha
 
-        # alpha > 0 implies the full forward accept; dalpha is zero wherever
-        # alpha was masked (G*dalpha and op*dalpha chain through zeros).
-        dalpha = jnp.where(alpha > 0.0, t_before * g - s_i / om, 0.0)
+            sp = _suffix_prod_lane(om, tri_s)  # prod_{k>=i}(1-a_k) [P, C]
+            t_before = T_end / sp
 
-        op = chunk[F_OP : F_OP + 1, :]
-        ca = chunk[F_CA : F_CA + 1, :]
-        cb = chunk[F_CB : F_CB + 1, :]
-        cc = chunk[F_CC : F_CC + 1, :]
-        x = chunk[F_X : F_X + 1, :] - ox
-        y = chunk[F_Y : F_Y + 1, :] - oy
-        # dpower = op * G * dalpha with the UNCLAMPED op*G (the CUDA backward
-        # ignores the 0.99 clamp subgradient, backward.cu:399-557)
-        dpower = opg * dalpha
-        # One MXU matmul folds every per-instance pixel reduction:
-        # dcoef[k, i] = sum_p basis[p, k] * dpower[p, i]
-        dcoef = lax.dot_general(
-            basis, dpower, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [6, C]
-        d0 = dcoef[0:1, :]
-        d1 = dcoef[1:2, :]
-        d2 = dcoef[2:3, :]
-        d3 = dcoef[3:4, :]
-        d4 = dcoef[4:5, :]
-        d5 = dcoef[5:6, :]
-        # chain rule through the coef rows (see _chunk_alpha_mxu)
-        da = -0.5 * x * x * d0 + x * d1 - 0.5 * d3
-        db = -x * y * d0 + y * d1 + x * d2 - d4
-        dc = -0.5 * y * y * d0 + y * d2 - 0.5 * d5
-        dmx = (-ca * x - cb * y) * d0 + ca * d1 + cb * d2
-        dmy = (-cc * y - cb * x) * d0 + cb * d1 + cc * d2
-        # dop = sum_p G dalpha = (sum_p dpower) / op
-        dop = jnp.where(jnp.abs(op) > 1e-20, d0 / op, 0.0)
-        dcol = lax.dot_general(
-            dldc, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [3, C]
-        ddep = jnp.zeros((1, alpha.shape[1]), jnp.float32)
+            colors = chunk[F_R : F_B + 1, :]  # [3, C]
+            g = lax.dot_general(
+                dldc, colors, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [P, C] = dL/dC . c_i
+            w = alpha * t_before
+            wg = w * g
+            suf = _suffix_sum_lane(wg, tri_s)
+            s_i = (suf - wg) + S  # sum_{k>i} w_k g_k  (+ later chunks + bg term)
 
-        zeros = jnp.zeros((NFEAT - 10, alpha.shape[1]), jnp.float32)
-        grad = jnp.concatenate(
-            [dmx, dmy, da, db, dc, dop, dcol, ddep, zeros], axis=0
-        )  # [NFEAT, C]
+            # alpha > 0 implies the full forward accept; dalpha is zero wherever
+            # alpha was masked (G*dalpha and op*dalpha chain through zeros).
+            dalpha = jnp.where(alpha > 0.0, t_before * g - s_i / om, 0.0)
 
-        # Accumulate: boundary chunks are shared with neighboring tiles.
-        acc = pltpu.make_async_copy(
-            dfeats_hbm.at[:, pl.ds(off, ch)], grad_vmem, acc_sem
-        )
-        acc.start()
-        acc.wait()
-        grad_vmem[:, :] = grad_vmem[:, :] + grad
-        out = pltpu.make_async_copy(
-            grad_vmem, dfeats_hbm.at[:, pl.ds(off, ch)], out_sem
-        )
-        out.start()
-        out.wait()
+            op = chunk[F_OP : F_OP + 1, :]
+            ca = chunk[F_CA : F_CA + 1, :]
+            cb = chunk[F_CB : F_CB + 1, :]
+            cc = chunk[F_CC : F_CC + 1, :]
+            x = chunk[F_X : F_X + 1, :] - ox
+            y = chunk[F_Y : F_Y + 1, :] - oy
+            # dpower = op * G * dalpha with the UNCLAMPED op*G (the CUDA backward
+            # ignores the 0.99 clamp subgradient, backward.cu:399-557)
+            dpower = opg * dalpha
+            # One MXU matmul folds every per-instance pixel reduction:
+            # dcoef[k, i] = sum_p basis[p, k] * dpower[p, i]
+            dcoef = lax.dot_general(
+                basis, dpower, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [6, C]
+            d0 = dcoef[0:1, :]
+            d1 = dcoef[1:2, :]
+            d2 = dcoef[2:3, :]
+            d3 = dcoef[3:4, :]
+            d4 = dcoef[4:5, :]
+            d5 = dcoef[5:6, :]
+            # chain rule through the coef rows (see _chunk_alpha_mxu)
+            da = -0.5 * x * x * d0 + x * d1 - 0.5 * d3
+            db = -x * y * d0 + y * d1 + x * d2 - d4
+            dc = -0.5 * y * y * d0 + y * d2 - 0.5 * d5
+            dmx = (-ca * x - cb * y) * d0 + ca * d1 + cb * d2
+            dmy = (-cc * y - cb * x) * d0 + cb * d1 + cc * d2
+            # dop = sum_p G dalpha = (sum_p dpower) / op
+            dop = jnp.where(jnp.abs(op) > 1e-20, d0 / op, 0.0)
+            dcol = lax.dot_general(
+                dldc, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [3, C]
+            ddep = jnp.zeros((1, alpha.shape[1]), jnp.float32)
 
-        T_end = jnp.minimum(T_end / sp[:, 0:1], 1.0)  # T at chunk start
-        S = S + jnp.sum(wg, axis=1, keepdims=True)
-        return T_end, S
+            zeros = jnp.zeros((NFEAT - 10, alpha.shape[1]), jnp.float32)
+            grad = jnp.concatenate(
+                [dmx, dmy, da, db, dc, dop, dcol, ddep, zeros], axis=0
+            )  # [NFEAT, C]
 
-    S0 = final_t * bg_dot  # background's pull on earlier alphas
-    lax.fori_loop(0, nchunks, body, (final_t, S0))
+            # Accumulate: boundary chunks are shared with neighboring tiles.
+            acc = pltpu.make_async_copy(
+                dfeats_hbm.at[:, pl.ds(off, ch)], grad_vmem, acc_sem
+            )
+            acc.start()
+            acc.wait()
+            grad_vmem[:, :] = grad_vmem[:, :] + grad
+            out = pltpu.make_async_copy(
+                grad_vmem, dfeats_hbm.at[:, pl.ds(off, ch)], out_sem
+            )
+            out.start()
+            out.wait()
+
+            T_end = jnp.minimum(T_end / sp[:, 0:1], 1.0)  # T at chunk start
+            S = S + jnp.sum(wg, axis=1, keepdims=True)
+            return T_end, S
+
+        S0 = final_t * bg_dot  # background's pull on earlier alphas
+        lax.fori_loop(0, nchunks, body, (final_t, S0))
 
 
 def _pallas_call(kernel, static, out_shapes, out_specs, in_specs, scratch,
@@ -614,7 +660,7 @@ def binned_blend_eval(feats, aux, bg, static):
     # (grid rows stay aligned so each step's SUP tiles are horizontally
     # adjacent with contiguous instance ranges); VMEM stays flat in SUP
     # because subtiles run sequentially with [npix, chunk] state
-    sup = next((s for s in (8, 4, 2) if tx % s == 0), 1)
+    sup = _pick_sup(tx)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -668,7 +714,8 @@ def _binned_blend_fwd(feats, aux, bg, static):
     nk = cfg.max_instances
     feats_hbm = _stack_feats(binned.feats_sorted, nk, cfg.chunk)
 
-    kern = functools.partial(_fwd_kernel, cfg=cfg, tx=tx, npix=npix)
+    sup = _pick_sup(tx)
+    kern = functools.partial(_fwd_kernel, cfg=cfg, tx=tx, npix=npix, sup=sup)
     out_shapes = (
         jax.ShapeDtypeStruct((nt, 3, npix), jnp.float32),
         jax.ShapeDtypeStruct((nt, 1, npix), jnp.float32),
@@ -676,10 +723,10 @@ def _binned_blend_fwd(feats, aux, bg, static):
         jax.ShapeDtypeStruct((nt, 1, npix), jnp.int32),
     )
     out_specs = (
-        pl.BlockSpec((1, 3, npix), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((sup, 3, npix), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((sup, 1, npix), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((sup, 1, npix), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((sup, 1, npix), lambda i, *_: (i, 0, 0)),
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),  # feats stay in HBM
@@ -689,7 +736,8 @@ def _binned_blend_fwd(feats, aux, bg, static):
         pltpu.VMEM((2, NFEAT, cfg.chunk), jnp.float32),  # double buffer
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    call = _pallas_call(kern, static, out_shapes, out_specs, in_specs, scratch)
+    call = _pallas_call(kern, static, out_shapes, out_specs, in_specs,
+                        scratch, grid=(nt // sup,))
     bg_col = bg.reshape(3, 1)
     color, final_t, depth_img, ncontrib = call(
         binned.tile_start, binned.tile_stop, feats_hbm, bg_col
@@ -731,16 +779,18 @@ def _binned_blend_bwd(static, residuals, cotangents):
     dcolor = cotangents[0]
     n_orig = aux_struct["alive"].shape[0]
 
-    kern = functools.partial(_bwd_kernel, cfg=cfg, tx=tx, npix=npix)
+    nt = tx * ty
+    sup = _pick_sup(tx)
+    kern = functools.partial(_bwd_kernel, cfg=cfg, tx=tx, npix=npix, sup=sup)
     out_shapes = jax.ShapeDtypeStruct(feats_hbm.shape, jnp.float32)
     out_specs = pl.BlockSpec(memory_space=pltpu.HBM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),  # dzero (aliased to output)
         pl.BlockSpec(memory_space=pltpu.HBM),  # feats
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
-        pl.BlockSpec((1, 3, npix), lambda i, *_: (i, 0, 0)),  # dL/dcolor
-        pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),  # final_T
-        pl.BlockSpec((1, 1, npix), lambda i, *_: (i, 0, 0)),  # n_contrib
+        pl.BlockSpec((sup, 3, npix), lambda i, *_: (i, 0, 0)),  # dL/dcolor
+        pl.BlockSpec((sup, 1, npix), lambda i, *_: (i, 0, 0)),  # final_T
+        pl.BlockSpec((sup, 1, npix), lambda i, *_: (i, 0, 0)),  # n_contrib
     ]
     scratch = [
         pltpu.VMEM((2, NFEAT, cfg.chunk), jnp.float32),  # double buffer
@@ -752,7 +802,7 @@ def _binned_blend_bwd(static, residuals, cotangents):
     # input index 2 = dzero among (start, stop, dzero, feats, ...)
     call = _pallas_call(
         kern, static, out_shapes, out_specs, in_specs, scratch,
-        io_aliases={2: 0},
+        io_aliases={2: 0}, grid=(nt // sup,),
     )
     dzero = jnp.zeros(feats_hbm.shape, jnp.float32)
     dfeats = call(
