@@ -48,6 +48,11 @@ cam_in = {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
 gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
 bg = jnp.zeros(3)
 
+import sys
+sys.path.insert(0, 'scripts')
+from bench_lib import force_sync_mode
+force_sync_mode()
+
 REPS = 30
 
 

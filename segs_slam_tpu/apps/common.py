@@ -48,6 +48,11 @@ def add_common_args(p, default_compact=2**16, default_kmax=8):
     p.add_argument("--dist-coeffs", type=float, nargs=5, default=None,
                    metavar=("K1", "K2", "P1", "P2", "K3"),
                    help="override distortion coefficients")
+    p.add_argument("--opt-set", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="override an OptimizationConfig field (repeatable), "
+                        "e.g. --opt-set pose_prior=0.005; applied after the "
+                        "YAML ingest")
 
 
 def resolve_dist_coeffs(args, dataset: str):
@@ -95,6 +100,15 @@ def resolve_configs(args, iters_budget: int, mapper_overrides: dict | None
         mpc = MapperConfig()
     if mapper_overrides:
         mpc = dataclasses.replace(mpc, **mapper_overrides)
+    for kv in getattr(args, "opt_set", []):
+        key, _, raw = kv.partition("=")
+        if not hasattr(oc, key):
+            raise SystemExit(f"--opt-set: OptimizationConfig has no field "
+                             f"{key!r}")
+        cur = getattr(oc, key)
+        val = (raw.lower() in ("1", "true", "yes") if isinstance(cur, bool)
+               else type(cur)(raw))
+        oc = dataclasses.replace(oc, **{key: val})
     rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax,
                       chunk=256, ksmall=args.ksmall,
                       nlarge=args.nlarge if args.ksmall else 0)

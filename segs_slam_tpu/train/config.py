@@ -98,6 +98,15 @@ class OptimizationConfig:
     # pull (2*lambda*|d|) caps noise-driven drift at |d| ~ noise/(2*lambda)
     # while a real pose error's photometric gradient overwhelms it.
     pose_prior: float = 0.02
+    # "base": the prior anchors each delta to zero (the SLAM base pose) —
+    # damps noise-driven drift but also biases the equilibrium toward the
+    # base when the photometric gradient vanishes near the optimum.
+    # "ema": anchors the delta to a stop-gradient EMA of its own trajectory
+    # (Ornstein-Uhlenbeck damping) — same random-walk suppression with no
+    # pull toward the (possibly wrong) SLAM pose, so the photometric optimum
+    # is reached unbiased.
+    pose_prior_mode: str = "base"
+    pose_ema_decay: float = 0.95
 
     def lr_schedules(self) -> dict:
         """Schedules per param-tree path prefix; mirrors updateLearningRate

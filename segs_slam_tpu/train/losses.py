@@ -52,29 +52,42 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return w2d
 
 
+@functools.lru_cache(maxsize=16)
+def _blur_band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """(n, n) banded matrix applying the 1D Gaussian window with zero 'same'
+    padding: out[a] = sum_b M[a, b] x[b]."""
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs**2) / (2.0 * sigma * sigma))
+    g = (g / g.sum()).astype(np.float32)
+    pad = window_size // 2
+    m = np.zeros((n, n), np.float32)
+    for k, w in zip(range(-pad, pad + 1), g):
+        diag = np.full(n - abs(k), w, np.float32)
+        m += np.diag(diag, k)
+    return m
+
+
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
          sigma: float = 1.5) -> jnp.ndarray:
-    """Mean SSIM with an 11x11 Gaussian window, depthwise conv2d, same
-    padding — exact port of the formula (reference: loss_utils.h:78-124)."""
-    c = img1.shape[0]
-    w2d = _gaussian_window(window_size, sigma)
-    kernel = jnp.asarray(np.tile(w2d[None, None], (c, 1, 1, 1)))  # (C,1,K,K)
-    pad = window_size // 2
+    """Mean SSIM with an 11x11 Gaussian window, same (zero) padding — the
+    formula of the reference (loss_utils.h:78-124) with the depthwise conv
+    recast as two banded-matrix matmuls (separable Gaussian): a C=3
+    depthwise conv lowers catastrophically on the TPU conv unit (~11 ms
+    fwd+bwd at 640x480) while the same blur as (H,H) and (W,W) matmuls is
+    MXU work (<1 ms)."""
+    _, h, w = img1.shape
+    mh = jnp.asarray(_blur_band_matrix(h, window_size, sigma))
+    mw = jnp.asarray(_blur_band_matrix(w, window_size, sigma))
 
     def conv(x):
-        # Precision.HIGHEST is load-bearing: TPU convs default to bf16
-        # multiplies, and the E[x^2] - mu^2 cancellation below then has
-        # absolute error ~1e-3 — larger than C2=9e-4 — which drives window
-        # variances negative and makes ssim_map (and its gradient) unbounded.
-        return lax.conv_general_dilated(
-            x[None],  # (1, C, H, W)
-            kernel,
-            window_strides=(1, 1),
-            padding=[(pad, pad), (pad, pad)],
-            feature_group_count=c,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            precision=lax.Precision.HIGHEST,
-        )[0]
+        # Precision.HIGHEST is load-bearing: the E[x^2] - mu^2 cancellation
+        # below has absolute error ~1e-3 under bf16 matmuls — larger than
+        # C2=9e-4 — which drives window variances negative and makes
+        # ssim_map (and its gradient) unbounded.
+        y = jnp.einsum("ab,cbw->caw", mh, x,
+                       precision=lax.Precision.HIGHEST)
+        return jnp.einsum("ab,chb->cha", mw, y,
+                          precision=lax.Precision.HIGHEST)
 
     mu1 = conv(img1)
     mu2 = conv(img2)

@@ -56,6 +56,10 @@ class TrainState(NamedTuple):
     # them free parameters). Zero rows = identity. Shape (max_kfs, 6);
     # (0, 6) when pose optimization is off.
     pose: jnp.ndarray
+    # stop-gradient EMA of each pose row (pose_prior_mode="ema"): the prior
+    # anchor that damps Adam's noise-driven random walk without biasing the
+    # photometric equilibrium toward the SLAM base pose. Same shape as pose.
+    pose_ema: jnp.ndarray
 
     @property
     def pose_rows(self) -> int:
@@ -73,6 +77,7 @@ def init_train_state(anchors: AnchorState, decoders: dict,
         stats=DensifyStats.zeros(config.capacity, config.n_offsets),
         step=jnp.zeros((), jnp.int32),
         pose=pose,
+        pose_ema=pose,
     )
 
 
@@ -203,10 +208,15 @@ def make_train_step(
             lam = opt_config.lambda_dssim
             loss = (1.0 - lam) * l1 + lam * (1.0 - ssim_v) + 0.01 * scaling_reg
             if opt_pose:
-                # L2 prior toward the SLAM base pose (see
-                # OptimizationConfig.pose_prior)
+                # L2 prior damping the delta's random walk (see
+                # OptimizationConfig.pose_prior / pose_prior_mode)
+                anchor_pt = (
+                    jax.lax.stop_gradient(ts.pose_ema[kf_row])
+                    if opt_config.pose_prior_mode == "ema"
+                    else 0.0
+                )
                 loss = loss + opt_config.pose_prior * jnp.sum(
-                    params["pose"][kf_row] ** 2)
+                    (params["pose"][kf_row] - anchor_pt) ** 2)
 
             if opt_config.use_frequency_regularization:
                 # lax.cond so the FFTs (and their grads) only run inside the
@@ -333,6 +343,15 @@ def make_train_step(
         )
 
         new_anchors = ts.anchors.replace_params(new_params["anchors"])
+        if opt_pose and opt_config.pose_prior_mode == "ema":
+            dec = opt_config.pose_ema_decay
+            new_ema = jnp.where(
+                pose_mask[:, None],
+                dec * ts.pose_ema + (1.0 - dec) * new_params["pose"],
+                ts.pose_ema,
+            )
+        else:
+            new_ema = ts.pose_ema
         new_ts = TrainState(
             anchors=new_anchors,
             decoders=new_params["decoders"],
@@ -340,6 +359,7 @@ def make_train_step(
             stats=new_stats,
             step=it,
             pose=new_params["pose"],
+            pose_ema=new_ema,
         )
         metrics = {
             "loss": loss,

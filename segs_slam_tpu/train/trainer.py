@@ -242,7 +242,8 @@ class Trainer:
             adam = _opt.reset_rows(
                 self.state.adam, lambda p: p[0].key == "pose", mask)
             self.state = self.state._replace(
-                pose=self.state.pose.at[row].set(0.0), adam=adam)
+                pose=self.state.pose.at[row].set(0.0),
+                pose_ema=self.state.pose_ema.at[row].set(0.0), adam=adam)
 
     def pose_delta_np(self, kf_id: int):
         """Current learned SE3 delta for a keyframe, or None."""
@@ -290,7 +291,8 @@ class Trainer:
             adam = _opt.reset_rows(
                 self.state.adam, lambda p: p[0].key == "pose", full)
             self.state = self.state._replace(
-                pose=jnp.zeros_like(self.state.pose), adam=adam)
+                pose=jnp.zeros_like(self.state.pose),
+                pose_ema=jnp.zeros_like(self.state.pose_ema), adam=adam)
         return n
 
     # --- photometric keyframe-pose refinement -------------------------------

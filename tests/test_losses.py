@@ -31,23 +31,23 @@ def test_ssim_identity_and_range():
     assert -1.0 <= s_diff < 0.9
 
 
-def test_ssim_convs_use_highest_precision():
-    """On TPU, default-precision convs multiply in bf16; the E[x^2]-mu^2
+def test_ssim_blurs_use_highest_precision():
+    """On TPU, default-precision matmuls multiply in bf16; the E[x^2]-mu^2
     cancellation then exceeds C2 and ssim_map becomes unbounded (observed:
-    ssim values of 5.8 / -622 on real renders). The convs must carry
+    ssim values of 5.8 / -622 on real renders). The blur matmuls must carry
     Precision.HIGHEST. CPU ignores precision, so check the jaxpr."""
     import jax
     from jax import lax
 
     a, b = _imgs(3)
     jaxpr = jax.make_jaxpr(losses.ssim)(a, b)
-    convs = [e for e in jaxpr.jaxpr.eqns
-             if e.primitive.name == "conv_general_dilated"]
-    assert convs, "ssim no longer uses conv_general_dilated?"
-    for e in convs:
+    dots = [e for e in jaxpr.jaxpr.eqns
+            if e.primitive.name == "dot_general"]
+    assert dots, "ssim no longer uses dot_general blur matmuls?"
+    for e in dots:
         assert e.params["precision"] == (
             lax.Precision.HIGHEST, lax.Precision.HIGHEST
-        ), f"ssim conv precision regressed: {e.params['precision']}"
+        ), f"ssim blur precision regressed: {e.params['precision']}"
 
 
 def test_ssim_matches_reference_formula():

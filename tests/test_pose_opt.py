@@ -150,3 +150,43 @@ def test_pose_table_absent_when_disabled():
     assert tr.state.pose.shape == (0, 6)
     m = tr.train_iteration()
     assert m is not None and np.isfinite(float(m["loss"]))
+
+
+def test_ema_prior_tracks_delta_and_resets():
+    """pose_prior_mode="ema": the EMA row follows only the trained row and
+    pose-row resets clear it too."""
+    import dataclasses as _dc
+
+    tr, kfs = _make_trainer(optimize_poses=True)
+    tr.opt_config = _dc.replace(tr.opt_config, pose_prior_mode="ema",
+                                pose_ema_decay=0.5)
+    tr._steps.clear()
+    kf = kfs[2]
+    _perturb(kf)
+    tr._cam_cache.pop(kf.kf_id, None)
+
+    def step_on_kf():
+        kf.remaining_times_of_use = max(kf.remaining_times_of_use, 1)
+        for other in kfs:
+            if other is not kf:
+                other.remaining_times_of_use = 0
+        return tr.train_iteration()
+
+    for _ in range(25):
+        step_on_kf()
+    row = tr._pose_rows[kf.kf_id]
+    pose = np.asarray(tr.state.pose)
+    ema = np.asarray(tr.state.pose_ema)
+    assert np.any(pose[row]), "pose delta never moved"
+    assert np.any(ema[row]), "ema row never updated"
+    # ema lags the delta but tracks it (same sign on the largest component)
+    j = int(np.argmax(np.abs(pose[row])))
+    assert np.sign(ema[row][j]) == np.sign(pose[row][j])
+    # rows that were never trained keep a zero ema
+    other_rows = [r for k, r in tr._pose_rows.items() if k != kf.kf_id]
+    for r in other_rows:
+        assert not np.any(ema[r])
+    # a base-pose refresh clears both the delta and its ema anchor
+    tr.set_keyframe_pose(kf, kf.quat, kf.trans)
+    assert not np.any(np.asarray(tr.state.pose)[row])
+    assert not np.any(np.asarray(tr.state.pose_ema)[row])
