@@ -48,6 +48,11 @@ def add_common_args(p, default_compact=2**16, default_kmax=8):
     p.add_argument("--dist-coeffs", type=float, nargs=5, default=None,
                    metavar=("K1", "K2", "P1", "P2", "K3"),
                    help="override distortion coefficients")
+    p.add_argument("--packed-train", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="packed (f16-pair) binning sorts on the training "
+                        "path (auto = on when tile/grid/kmax/compact "
+                        "constraints hold; see RasterConfig.packed_train)")
     p.add_argument("--opt-set", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="override an OptimizationConfig field (repeatable), "
@@ -109,7 +114,14 @@ def resolve_configs(args, iters_budget: int, mapper_overrides: dict | None
         val = (raw.lower() in ("1", "true", "yes") if isinstance(cur, bool)
                else type(cur)(raw))
         oc = dataclasses.replace(oc, **{key: val})
+    # image size may not be resolved yet at this point, so "auto" gates on
+    # the static constraints only; rasterize() itself asserts the tile-grid
+    # width bound (<= 63 tiles) when the kernel is built
+    packed = (args.packed_train == "on"
+              or (args.packed_train == "auto" and args.kmax <= 31
+                  and args.compact <= 2**16))
     rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax,
                       chunk=256, ksmall=args.ksmall,
-                      nlarge=args.nlarge if args.ksmall else 0)
+                      nlarge=args.nlarge if args.ksmall else 0,
+                      packed_train=packed)
     return mc, oc, mpc, rc, trainer_kwargs

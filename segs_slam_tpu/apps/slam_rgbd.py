@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import threading
 import time
 from pathlib import Path
@@ -169,9 +170,16 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
         if tracker is not None and depth is not None:
             fed_frames.append(i)
             gray = (rgb.mean(axis=2) * 255).astype(np.uint8)
+            if os.environ.get("SG_ABL_FORCE_GT"):
+                # diagnostic ablation: run the full tracker (keyframe
+                # selection, BA, timing) but pin its output poses to ground
+                # truth — isolates pose-error-driven mapping loss
+                tracker.set_gt_hint(np.concatenate([fr.trans, fr.quat]))
             status, pose7, _ = tracker.track(gray, depth)
             quat = pose7[3:7]
             trans = pose7[0:3]
+            if os.environ.get("SG_ABL_FORCE_GT"):
+                quat, trans = fr.quat.copy(), np.asarray(fr.trans).copy()
             is_kf = status == 1
             if is_kf:
                 kp = tracker.keyframe_points()
@@ -179,6 +187,9 @@ def run_producer(frames, camera, queue, tracker_kind, depth_scale,
                 # (reference: LocalMapping.cc:149-160)
                 _, fnos, poses = tracker.window_poses()
                 pose_updates = _tracker_pose_updates(fnos, poses)
+                if os.environ.get("SG_ABL_NO_POSE_UPDATES"):
+                    pose_updates = None  # diagnostic: isolate the refresh
+                    # stream's times-of-use / delta-reset side effects
                 loop_cand = tracker.poll_loop()
             else:
                 kp = None
@@ -242,14 +253,21 @@ def main(argv=None):
                   help="pace the frame feed (0 = free-run)")
     p.add_argument("--min-init-kfs", type=int, default=10)
     p.add_argument("--debug-ckpt-at", type=int, default=0)
+    p.add_argument("--pose-refine-on-arrival", type=int, default=0,
+                   help="LM photometric frame-to-model alignment steps for "
+                        "each new keyframe against the current map (0 = "
+                        "off); corrects tracker pose error before it blurs "
+                        "the map")
     p.add_argument("--pose-refine-every", type=int, default=0,
                    help="photometric keyframe-pose refinement cadence "
                         "(0 = off; try 25 with --tracker native)")
     p.add_argument("--optimize-poses", choices=["auto", "on", "off"],
                    default="auto",
                    help="in-step photometric pose optimization (per-keyframe "
-                        "SE3 deltas trained jointly with the map); auto = on "
-                        "for --tracker native, off for the pose oracle")
+                        "SE3 deltas trained jointly with the map); auto = "
+                        "off — the round-3 ablation showed the delta random "
+                        "walk costs more map quality than the pose "
+                        "correction recovers (RESULTS.md)")
     p.add_argument("--all-frames-eval", action="store_true",
                    help="post-run novel-view eval over EVERY tracked frame "
                         "(reference: renderAndRecordAllframes)")
@@ -314,11 +332,16 @@ def main(argv=None):
 
     mc, oc, mpc, rc, trainer_kwargs = resolve_configs(
         args, args.iters_budget,
-        mapper_overrides=dict(min_num_initial_map_kfs=args.min_init_kfs,
-                              pose_refine_every=args.pose_refine_every),
+        mapper_overrides=dict(
+            min_num_initial_map_kfs=args.min_init_kfs,
+            pose_refine_every=args.pose_refine_every,
+            pose_refine_on_arrival=args.pose_refine_on_arrival),
     )
-    if args.optimize_poses == "on" or (
-            args.optimize_poses == "auto" and args.tracker == "native"):
+    # "auto" resolves to OFF since the round-3 ablation matrix (RESULTS.md):
+    # in-step joint pose optimization costs 0.6-2.7 dB of map quality (the
+    # per-keyframe deltas random-walk under Adam noise); the decoupled LM
+    # refinement (--pose-refine-every) is the supported pose-correction path.
+    if args.optimize_poses == "on":
         trainer_kwargs["optimize_poses"] = True
     trainer = Trainer(mc, oc, rc, width=cam.width, height=cam.height,
                       **trainer_kwargs)

@@ -27,6 +27,10 @@ class RenderOutput(NamedTuple):
     num_compact: jnp.ndarray  # () int32 — visible gaussians before the
     #   static `compact` cap (overflow drops gaussians + their grads)
     num_kmax_truncated: jnp.ndarray  # () int32 — footprints shrunk to kmax
+    depth_map: jnp.ndarray  # (H, W) expected depth sum_i w_i d_i (NOT
+    #   alpha-normalized; divide by opacity = 1 - final_T to compare with
+    #   sensor depth)
+    final_T: jnp.ndarray  # (H, W) remaining transmittance
 
 
 def render(
@@ -98,6 +102,8 @@ def render(
         num_instances=out["num_instances"],
         num_compact=out["num_compact"],
         num_kmax_truncated=out["num_kmax_truncated"],
+        depth_map=out["depth_map"],
+        final_T=out["final_T"],
     )
 
 

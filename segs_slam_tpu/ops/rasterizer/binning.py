@@ -293,11 +293,15 @@ class PackedCompact(NamedTuple):
     dmeta: jnp.ndarray  # (compact,) u32 = dkey | touched<<21 | rw<<26
     valid: jnp.ndarray  # (compact,) bool
     num_valid: jnp.ndarray  # () int32
+    orig_id: jnp.ndarray | None = None  # (compact,) i32 — training only
 
 
-def compact_gaussians_packed(feats, aux, config: RasterConfig):
+def compact_gaussians_packed(feats, aux, config: RasterConfig,
+                             with_orig: bool = False):
     """Opacity-priority compaction with packed payloads (7 sort operands vs
-    16 in compact_gaussians). Same key semantics; no orig_id (eval only)."""
+    16 in compact_gaussians). Same key semantics. with_orig adds the
+    original-index column the training backward scatters through (8
+    operands)."""
     assert config.kmax <= 31, "touched packs into dmeta bits 21..25"
     alive = aux["alive"]
     n = alive.shape[0]
@@ -323,19 +327,18 @@ def compact_gaussians_packed(feats, aux, config: RasterConfig):
     ts = 16.0
     p_xy = _pack2f16(x - rmx.astype(jnp.float32) * ts,
                      y - rmy.astype(jnp.float32) * ts)
-    out = lax.sort(
-        (
-            key,
-            p_xy,
-            _pack2f16(ca, cb),
-            _pack2f16(cc, op),
-            _pack2f16(r, g),
-            _pack2f16(b, jnp.zeros_like(b)) | (rmx << 16) | (rmy << 24),
-            dmeta,
-        ),
-        num_keys=1,
-        is_stable=True,
+    cols = (
+        key,
+        p_xy,
+        _pack2f16(ca, cb),
+        _pack2f16(cc, op),
+        _pack2f16(r, g),
+        _pack2f16(b, jnp.zeros_like(b)) | (rmx << 16) | (rmy << 24),
+        dmeta,
     )
+    if with_orig:
+        cols = cols + (jnp.arange(n, dtype=jnp.int32),)
+    out = lax.sort(cols, num_keys=1, is_stable=True)
     key_s = out[0][:nc]
     valid = key_s < (1 << 24)
     dmeta_s = jnp.where(valid, out[6][:nc], 0)  # touched=0 for dead slots
@@ -348,14 +351,17 @@ def compact_gaussians_packed(feats, aux, config: RasterConfig):
         dmeta=dmeta_s,
         valid=valid,
         num_valid=jnp.sum(alive.astype(jnp.int32)),
+        orig_id=out[7][:nc] if with_orig else None,
     )
 
 
-def _expand_grid_packed(cols, nc, k_lo, k_hi, tx, num_tiles):
+def _expand_grid_packed(cols, nc, k_lo, k_hi, tx, num_tiles,
+                        pb_override=None):
     """Instance columns for slots [k_lo, k_hi): fused u32 (tile, depth) key
     + packed payloads, with mean2d re-based from rect-relative to
     TILE-relative per instance. cols = (p_xy, p_cab, p_cco, p_rg, p_b,
-    dmeta)."""
+    dmeta). pb_override (training) replaces the broadcast p_b payload —
+    rmx/rmy are still read from cols' p_b for tile arithmetic."""
     p_xy, p_cab, p_cco, p_rg, p_b, dmeta = cols
     rmx = ((p_b >> 16) & 0xFF).astype(jnp.int32)
     rmy = ((p_b >> 24) & 0xFF).astype(jnp.int32)
@@ -386,8 +392,9 @@ def _expand_grid_packed(cols, nc, k_lo, k_hi, tx, num_tiles):
     def bcast(c):
         return jnp.broadcast_to(c[:, None], (nc, kw)).reshape(-1)
 
+    pb = p_b if pb_override is None else pb_override
     return ukey, (p_xy_i, bcast(p_cab), bcast(p_cco), bcast(p_rg),
-                  bcast(p_b))
+                  bcast(pb))
 
 
 def expand_and_sort_packed(pc: PackedCompact, num_tiles_x: int,
@@ -456,3 +463,86 @@ def expand_and_sort_packed(pc: PackedCompact, num_tiles_x: int,
     tile_stop = jnp.searchsorted(tile_sorted, tiles, side="right").astype(
         jnp.int32)
     return feats_sorted, tile_start, tile_stop, num_instances, num_large
+
+
+def expand_and_sort_packed_train(pc: PackedCompact, num_tiles_x: int,
+                                 num_tiles_y: int,
+                                 config: RasterConfig) -> BinnedInstances:
+    """Packed instance sort for TRAINING (RasterConfig.packed_train): the
+    eval packing plus the gradient routing the backward needs — the compact
+    id rides in the upper 16 bits of the b-channel payload (so
+    compact <= 2^16) and the per-instance depth column is reconstructed
+    from the 21-bit depth key (the expected-depth output tolerates the
+    ~0.02% relative truncation). Same 6 sort operands as the eval path."""
+    assert config.tile == 16, "packed expansion assumes 16px tiles"
+    nc, km = config.compact, config.kmax
+    assert nc <= (1 << 16), "packed_train gid packs into 16 payload bits"
+    tx = num_tiles_x
+    num_tiles = num_tiles_x * num_tiles_y
+    assert (num_tiles + 1) << DEPTH_KEY_BITS < (1 << 32), \
+        "tile id must fit above the 21-bit depth key"
+    assert tx <= 63, "rect_w packs into 6 dmeta bits (image width <= 1008)"
+
+    gid0 = jnp.arange(nc, dtype=jnp.uint32)
+    p_bg = (pc.p_b & jnp.uint32(0xFFFF)) | (gid0 << 16)
+    cols = (pc.p_xy, pc.p_cab, pc.p_cco, pc.p_rg, pc.p_b, pc.dmeta)
+    touched = ((pc.dmeta >> DEPTH_KEY_BITS) & 0x1F).astype(jnp.int32)
+
+    if config.ksmall:
+        ks, nl = config.ksmall, config.nlarge
+        ukey_s, pays_s = _expand_grid_packed(cols, nc, 0, ks, tx, num_tiles,
+                                             pb_override=p_bg)
+        sel_key = jnp.where(touched <= ks, km + 1, km - touched)
+        sel = lax.sort((sel_key,) + cols + (p_bg,), num_keys=1,
+                       is_stable=True)
+        cols_l = tuple(f[:nl] for f in sel[1:7])
+        pbg_l = sel[7][:nl]
+        ukey_l, pays_l = _expand_grid_packed(cols_l, nl, ks, km, tx,
+                                             num_tiles, pb_override=pbg_l)
+        ukey = jnp.concatenate([ukey_s, ukey_l])
+        pays = tuple(jnp.concatenate([a, b]) for a, b in zip(pays_s, pays_l))
+        touched_l = ((cols_l[5] >> DEPTH_KEY_BITS) & 0x1F).astype(jnp.int32)
+        num_instances = jnp.sum(jnp.minimum(touched, ks)) + jnp.sum(
+            jnp.maximum(touched_l - ks, 0))
+        num_large = jnp.sum((touched > ks).astype(jnp.int32))
+    else:
+        ukey, pays = _expand_grid_packed(cols, nc, 0, km, tx, num_tiles,
+                                         pb_override=p_bg)
+        num_instances = jnp.sum(touched)
+        num_large = jnp.int32(0)
+
+    out = lax.sort((ukey,) + pays, num_keys=1, is_stable=True)
+    ukey_sorted = out[0]
+    tile_sorted = (ukey_sorted >> DEPTH_KEY_BITS).astype(jnp.int32)
+
+    xr, yr = _unpack2f16(out[1])
+    tile_clamped = jnp.minimum(tile_sorted, num_tiles - 1)
+    ty_i = tile_clamped // tx
+    tx_i = tile_clamped - ty_i * tx
+    ts = 16.0
+    x = xr + tx_i.astype(jnp.float32) * ts
+    y = yr + ty_i.astype(jnp.float32) * ts
+    ca, cb = _unpack2f16(out[2])
+    cc, op = _unpack2f16(out[3])
+    b, _ = _unpack2f16(out[5] & jnp.uint32(0xFFFF))
+    r, g = _unpack2f16(out[4])
+    gid_sorted = (out[5] >> 16).astype(jnp.int32)
+    # depth from the truncated key: top 21 bits of the f32 pattern
+    depth = lax.bitcast_convert_type(
+        (ukey_sorted & ((1 << DEPTH_KEY_BITS) - 1)) << (32 - DEPTH_KEY_BITS),
+        jnp.float32)
+    feats_sorted = (x, y, ca, cb, cc, op, r, g, b, depth)
+
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_sorted, tiles, side="left").astype(
+        jnp.int32)
+    tile_stop = jnp.searchsorted(tile_sorted, tiles, side="right").astype(
+        jnp.int32)
+    return BinnedInstances(
+        feats_sorted=feats_sorted,
+        gid_sorted=gid_sorted,
+        tile_start=tile_start,
+        tile_stop=tile_stop,
+        num_instances=num_instances,
+        num_large=num_large,
+    )

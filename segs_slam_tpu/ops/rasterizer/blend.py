@@ -44,7 +44,9 @@ from jax.experimental.pallas import tpu as pltpu
 from segs_slam_tpu.ops.rasterizer.binning import (
     NPAY,
     compact_gaussians,
+    compact_gaussians_packed,
     expand_and_sort,
+    expand_and_sort_packed_train,
 )
 
 NFEAT = 16
@@ -709,8 +711,21 @@ def _binned_blend_fwd(feats, aux, bg, static):
     cfg, tx, ty, npix, interpret = static
     nt = tx * ty
 
-    cg = compact_gaussians(feats, aux, cfg)
-    binned = expand_and_sort(cg, tx, ty, cfg)
+    use_packed = (getattr(cfg, "packed_train", False) and cfg.tile == 16
+                  and tx <= 63 and cfg.kmax <= 31
+                  and cfg.compact <= (1 << 16))
+    if use_packed:
+        # packed sorts (f16-pair payloads) with gradient routing — see
+        # RasterConfig.packed_train for the precision budget
+        pc = compact_gaussians_packed(feats, aux, cfg, with_orig=True)
+        binned = expand_and_sort_packed_train(pc, tx, ty, cfg)
+        cg_orig_id, cg_valid_arr = pc.orig_id, pc.valid
+        num_valid = pc.num_valid
+    else:
+        cg = compact_gaussians(feats, aux, cfg)
+        binned = expand_and_sort(cg, tx, ty, cfg)
+        cg_orig_id, cg_valid_arr = cg.orig_id, cg.valid
+        num_valid = cg.num_valid
     nk = cfg.max_instances
     feats_hbm = _stack_feats(binned.feats_sorted, nk, cfg.chunk)
 
@@ -743,7 +758,7 @@ def _binned_blend_fwd(feats, aux, bg, static):
         binned.tile_start, binned.tile_stop, feats_hbm, bg_col
     )
     out = (color, final_t, depth_img, ncontrib, binned.num_instances,
-           cg.num_valid)
+           num_valid)
     aux_struct = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), aux
     )
@@ -752,8 +767,8 @@ def _binned_blend_fwd(feats, aux, bg, static):
         binned.tile_start,
         binned.tile_stop,
         binned.gid_sorted,
-        cg.orig_id,
-        cg.valid,
+        cg_orig_id,
+        cg_valid_arr,
         bg_col,
         final_t,
         ncontrib,

@@ -48,6 +48,14 @@ class RasterConfig:
     # sort by ~compact*kmax / (compact*ksmall + nlarge*(kmax-ksmall)).
     ksmall: int = 0
     nlarge: int = 0
+    # Use the packed (f16-pair payload) binning sorts on the TRAINING path
+    # too (binning.py packed section): ~2x less sorted bandwidth on the two
+    # dominant sorts in exchange for f16 rounding of the blend features
+    # (<=0.25 px mean2d, ~0.05% conic/opacity/rgb — far below SGD noise; the
+    # custom VJP differentiates the exact forward it ran, so gradients stay
+    # consistent). Requires tile=16, grid width <= 63 tiles, kmax <= 31 and
+    # compact <= 2^16 (gid packs into 16 payload bits).
+    packed_train: bool = False
 
     def grid(self, width: int, height: int) -> tuple[int, int]:
         tx = (width + self.tile - 1) // self.tile

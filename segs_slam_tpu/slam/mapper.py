@@ -51,6 +51,12 @@ class MapperConfig:
     # renderer (absorbs tracker pose error; beyond reference scope)
     pose_refine_every: int = 0
     pose_refine_warmup: int = 500
+    # frame-to-model alignment (0 = off): LM photometric refinement of each
+    # NEW keyframe's pose against the current map, before it trains or
+    # densifies — corrects tracker pose error before it can blur the map
+    # (the round-3 ablation showed pose error costs ~3 dB; continuous joint
+    # pose optimization random-walks, so correction must be bounded)
+    pose_refine_on_arrival: int = 0
     depth_cache: int = 10
     min_depth: float = 1e-10
     max_depth: float = 40.0
@@ -91,6 +97,11 @@ class Mapper:
             depth=kfd.depth,
             timestamp=kfd.timestamp,
         )
+        if self.config.pose_refine_on_arrival and self.initialized:
+            # frame-to-model alignment against the current map BEFORE the
+            # keyframe trains or seeds geometry (see MapperConfig)
+            self.trainer.refine_keyframe_pose(
+                kf, steps=self.config.pose_refine_on_arrival)
         self.trainer.add_keyframe(kf)
         if kfd.is_loop_kf:
             kf.remaining_times_of_use += (

@@ -347,19 +347,33 @@ class Trainer:
                 ).mean(axis=(2, 4))
 
             def _loss(delta, anchors, decoders, wvt0, projmat, tanfx, tanfy,
-                      pose7, gt):
+                      pose7, gt, gt_depth, use_depth):
                 cam = _delta_cam(delta, wvt0, projmat, tanfx, tanfy, pose7)
-                img = render(anchors, decoders, cam, width, height, bg, mc,
-                             rc, interpret=self.interpret).image
+                out = render(anchors, decoders, cam, width, height, bg, mc,
+                             rc, interpret=self.interpret)
+                img = out.image
                 mask = jnp.any(gt != 0.0, axis=0, keepdims=True)
-                return jnp.abs(
-                    _pool(img * mask) - _pool(gt * mask)
-                ).mean()
+                l = jnp.abs(_pool(img * mask) - _pool(gt * mask)).mean()
+                if use_depth:
+                    # sensor-depth residual (SplaTAM-style RGB-D alignment):
+                    # constrains the view-axis translation the photometric
+                    # term barely observes. Rendered expected depth is
+                    # alpha-normalized before comparison; only confident
+                    # (opacity > 0.5), valid-sensor pixels contribute.
+                    opac = 1.0 - out.final_T
+                    dr = out.depth_map / jnp.maximum(opac, 1e-6)
+                    dm = ((gt_depth > 0.0) & (opac > 0.5)).astype(jnp.float32)
+                    dres = jnp.abs(dr - gt_depth) * dm
+                    # relative-depth units so the weight is scene-scale-free
+                    l = l + 0.2 * jnp.sum(
+                        dres / jnp.maximum(gt_depth, 0.1)
+                    ) / jnp.maximum(jnp.sum(dm), 1.0)
+                return l
 
             def _refine(anchors, decoders, wvt0, projmat, tanfx, tanfy,
-                        pose7, gt, lr, steps):
+                        pose7, gt, gt_depth, lr, steps, use_depth):
                 args = (anchors, decoders, wvt0, projmat, tanfx, tanfy,
-                        pose7, gt)
+                        pose7, gt, gt_depth, use_depth)
                 vg = jax.value_and_grad(_loss)
 
                 def body(i, carry):
@@ -390,18 +404,25 @@ class Trainer:
                 delta, l1 = jax.lax.fori_loop(0, steps, body, (d0, l0))
                 return jnp.where(l1 < l0, delta, d0), l0, l1
 
-            self._pose_refine_jit = jax.jit(_refine, static_argnames="steps")
+            self._pose_refine_jit = jax.jit(
+                _refine, static_argnames=("steps", "use_depth"))
         return self._pose_refine_jit
 
     def refine_keyframe_pose(self, kf: Keyframe, steps: int = 5,
                              lr: float = 4e-3) -> float:
-        """Refine one keyframe's pose photometrically; updates the keyframe
-        in place and returns the loss improvement (>= 0)."""
+        """Refine one keyframe's pose photometrically (+ sensor-depth
+        residual when the keyframe carries depth); updates the keyframe in
+        place and returns the loss improvement (>= 0)."""
         cam, gt = self._kf_inputs(kf)
+        use_depth = kf.depth is not None
+        gt_depth = jnp.asarray(
+            kf.depth if use_depth else np.zeros((self.height, self.width)),
+            jnp.float32)
         delta, l0, l1 = self._pose_refine_fn()(
             self.state.anchors, self.state.decoders,
             cam["world_view_transform"], jnp.asarray(kf.projection),
-            cam["tan_fovx"], cam["tan_fovy"], cam["pose7"], gt, lr, steps,
+            cam["tan_fovx"], cam["tan_fovy"], cam["pose7"], gt, gt_depth,
+            lr, steps, use_depth,
         )
         delta = np.asarray(delta, np.float64)
         if not np.any(delta):

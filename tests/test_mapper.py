@@ -154,3 +154,34 @@ def test_tracker_pose_updates_mapping():
     q, t = upd[11]
     np.testing.assert_allclose(t, poses[1, 0:3])
     np.testing.assert_allclose(q, poses[1, 3:7])
+
+
+def test_pose_refine_on_arrival_runs_before_training():
+    """MapperConfig.pose_refine_on_arrival: each post-initialization
+    keyframe gets frame-to-model alignment before add_keyframe."""
+    cam, kfs, trainer = _make_setup()
+    queue = MappingQueue()
+    rng = np.random.default_rng(1)
+    producer = SyntheticOracleProducer(
+        kfs, cam, queue, sparse_points_fn=_sparse_fn(rng)
+    )
+    refined = []
+    orig = trainer.refine_keyframe_pose
+
+    def spy(kf, steps=5, lr=4e-3):
+        refined.append((kf.kf_id, steps))
+        assert kf.kf_id not in trainer.scene.keyframes  # before add
+        return orig(kf, steps=steps, lr=lr)
+
+    trainer.refine_keyframe_pose = spy
+    mapper = Mapper(queue, trainer, cam,
+                    MapperConfig(min_num_initial_map_kfs=3,
+                                 pose_refine_on_arrival=2))
+    producer.run()
+    mapper.run(max_iterations=10)
+    assert mapper.initialized
+    # keyframes 0-2 initialize the map (no refinement possible); 3-5 arrive
+    # after initialization and must each have been aligned with the
+    # configured step count
+    assert [r[0] for r in refined] == [3, 4, 5]
+    assert all(steps == 2 for _, steps in refined)

@@ -206,3 +206,60 @@ def test_packed_instance_sets_identical():
     np.testing.assert_array_equal(np.asarray(tile_stop),
                                   np.asarray(binned.tile_stop))
     assert int(pc.num_valid) == int(cg.num_valid)
+
+
+def _train_pair(rc_kw, seed=3):
+    """Training-path render + grads with packed_train on/off."""
+    from segs_slam_tpu.models.renderer import render
+
+    mc, anchors, decoders, cam_in, w, h = _scene(seed)
+    bg = jnp.zeros(3)
+    rng = np.random.default_rng(seed + 1)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, h, w)), jnp.float32)
+
+    def run(packed_train):
+        rc = RasterConfig(chunk=64, packed_train=packed_train, **rc_kw)
+
+        def loss_fn(aparams, dparams):
+            a = anchors.replace_params(aparams)
+            out = render(a, dparams, cam_in, w, h, bg, mc, rc,
+                         interpret=True)
+            return jnp.mean(jnp.abs(out.image - gt)), out.image
+
+        (l, img), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                             has_aux=True)(
+            anchors.params(), decoders)
+        return np.asarray(img), l, grads
+
+    return run(False), run(True)
+
+
+def test_packed_train_forward_matches_unpacked():
+    (ref_img, _, _), (pk_img, _, _) = _train_pair(
+        dict(tile=16, compact=256, kmax=8, ksmall=2, nlarge=64))
+    assert ref_img.max() > 0.0
+    np.testing.assert_allclose(pk_img, ref_img, atol=2e-2)
+    assert np.abs(pk_img - ref_img).mean() < 2e-3
+
+
+def test_packed_train_grads_match_unpacked():
+    """Gradients flow through the same segment-sum/scatter routing; values
+    differ only by the f16 forward rounding."""
+    (_, _, g_ref), (_, _, g_pk) = _train_pair(
+        dict(tile=16, compact=256, kmax=8))
+    leaves_ref = jax.tree.leaves(g_ref)
+    leaves_pk = jax.tree.leaves(g_pk)
+    assert len(leaves_ref) == len(leaves_pk)
+    any_nonzero = False
+    for a, b in zip(leaves_ref, leaves_pk):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        scale = np.abs(a).max()
+        if scale > 0:
+            any_nonzero = True
+            np.testing.assert_allclose(b, a, atol=0.05 * scale + 1e-6)
+            # directions agree
+            cos = (a * b).sum() / max(
+                np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
+            assert cos > 0.99, cos
+    assert any_nonzero
