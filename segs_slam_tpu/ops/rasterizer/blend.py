@@ -331,6 +331,8 @@ def _bwd_kernel(
     feats_hbm,
     bg_ref,
     dldc_ref,  # [1, 3, P]
+    dldd_ref,  # [1, 1, P] cotangent of the expected-depth output
+    dldt_ref,  # [1, 1, P] cotangent of the final-transmittance output
     final_t_ref,  # [1, 1, P]
     ncontrib_ref,  # [1, 1, P]
     # outputs
@@ -375,6 +377,11 @@ def _bwd_kernel(
         ox = ((t - tile_y * tx) * cfg.tile).astype(jnp.float32)
 
         dldc = dldc_ref[s, :, :]  # [3, P]
+        # the expected-depth output is a 4th "color" channel with zero
+        # background: its cotangent joins the per-instance pull g and the
+        # per-instance weight gradient rows below
+        dld4 = jnp.concatenate([dldc, dldd_ref[s, :, :]], axis=0)  # [4, P]
+        dldt = dldt_ref[s, 0, :].reshape(npix, 1)
         final_t = final_t_ref[s, 0, :].reshape(npix, 1)
         ncontrib = ncontrib_ref[s, 0, :].reshape(npix, 1)
         bg_dot = jnp.sum(bg * dldc, axis=0).reshape(npix, 1)  # [P, 1]
@@ -397,7 +404,7 @@ def _bwd_kernel(
 
         def body(step_i, carry, dma_in=dma_in, nchunks=nchunks,
                  astart=astart, lo=lo, hi=hi, ox=ox, dldc=dldc,
-                 ncontrib=ncontrib):
+                 dld4=dld4, ncontrib=ncontrib):
             T_end, S = carry  # both [P, 1]
             ci = nchunks - 1 - step_i
             base = ci * ch
@@ -420,11 +427,11 @@ def _bwd_kernel(
             sp = _suffix_prod_lane(om, tri_s)  # prod_{k>=i}(1-a_k) [P, C]
             t_before = T_end / sp
 
-            colors = chunk[F_R : F_B + 1, :]  # [3, C]
+            colors4 = chunk[F_R : F_D + 1, :]  # [4, C]: r, g, b, depth
             g = lax.dot_general(
-                dldc, colors, (((0,), (0,)), ((), ())),
+                dld4, colors4, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [P, C] = dL/dC . c_i
+            )  # [P, C] = dL/dC . c_i + dL/dD . d_i
             w = alpha * t_before
             wg = w * g
             suf = _suffix_sum_lane(wg, tri_s)
@@ -463,15 +470,14 @@ def _bwd_kernel(
             dmy = (-cc * y - cb * x) * d0 + cb * d1 + cc * d2
             # dop = sum_p G dalpha = (sum_p dpower) / op
             dop = jnp.where(jnp.abs(op) > 1e-20, d0 / op, 0.0)
-            dcol = lax.dot_general(
-                dldc, w, (((1,), (0,)), ((), ())),
+            dcol4 = lax.dot_general(
+                dld4, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [3, C]
-            ddep = jnp.zeros((1, alpha.shape[1]), jnp.float32)
+            )  # [4, C]: dL/d(r,g,b) and dL/d(depth_i) = sum_p dD * w
 
             zeros = jnp.zeros((NFEAT - 10, alpha.shape[1]), jnp.float32)
             grad = jnp.concatenate(
-                [dmx, dmy, da, db, dc, dop, dcol, ddep, zeros], axis=0
+                [dmx, dmy, da, db, dc, dop, dcol4, zeros], axis=0
             )  # [NFEAT, C]
 
             # Accumulate: boundary chunks are shared with neighboring tiles.
@@ -491,7 +497,10 @@ def _bwd_kernel(
             S = S + jnp.sum(wg, axis=1, keepdims=True)
             return T_end, S
 
-        S0 = final_t * bg_dot  # background's pull on earlier alphas
+        # Background's pull on earlier alphas, PLUS the final-transmittance
+        # cotangent: d(T_final)/da_i = -T_final/(1-a_i) has exactly the same
+        # shape as the bg term d(T_final*bg)/da_i, so dldt simply joins it.
+        S0 = final_t * (bg_dot + dldt)
         lax.fori_loop(0, nchunks, body, (final_t, S0))
 
 
@@ -792,6 +801,10 @@ def _binned_blend_bwd(static, residuals, cotangents):
         aux_struct,
     ) = residuals
     dcolor = cotangents[0]
+    # cotangents of the final-transmittance and expected-depth image outputs
+    # (ncontrib and the int counters are non-differentiable)
+    dfinal_t = cotangents[1]
+    ddepth = cotangents[2]
     n_orig = aux_struct["alive"].shape[0]
 
     nt = tx * ty
@@ -804,6 +817,8 @@ def _binned_blend_bwd(static, residuals, cotangents):
         pl.BlockSpec(memory_space=pltpu.HBM),  # feats
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
         pl.BlockSpec((sup, 3, npix), lambda i, *_: (i, 0, 0)),  # dL/dcolor
+        pl.BlockSpec((sup, 1, npix), lambda i, *_: (i, 0, 0)),  # dL/ddepth
+        pl.BlockSpec((sup, 1, npix), lambda i, *_: (i, 0, 0)),  # dL/dfinal_T
         pl.BlockSpec((sup, 1, npix), lambda i, *_: (i, 0, 0)),  # final_T
         pl.BlockSpec((sup, 1, npix), lambda i, *_: (i, 0, 0)),  # n_contrib
     ]
@@ -821,19 +836,19 @@ def _binned_blend_bwd(static, residuals, cotangents):
     )
     dzero = jnp.zeros(feats_hbm.shape, jnp.float32)
     dfeats = call(
-        tile_start, tile_stop, dzero, feats_hbm, bg_col, dcolor, final_t,
-        ncontrib,
+        tile_start, tile_stop, dzero, feats_hbm, bg_col, dcolor, ddepth,
+        dfinal_t, final_t, ncontrib,
     )
 
     nk = cfg.max_instances
-    dcols = dfeats[:NPAY, :nk].T  # [NK, NPAY]
+    dcols = dfeats[: NPAY + 1, :nk].T  # [NK, NPAY+1] — 9 feats + depth
     dcompact = jax.ops.segment_sum(
         dcols, gid_sorted, num_segments=cfg.compact
-    )  # [compact, NPAY]
+    )  # [compact, NPAY+1]
     dcompact = jnp.where(cg_valid[:, None], dcompact, 0.0)
     # route back through the compaction (unique destinations)
     dorig = (
-        jnp.zeros((n_orig, NPAY), jnp.float32)
+        jnp.zeros((n_orig, NPAY + 1), jnp.float32)
         .at[jnp.where(cg_valid, orig_id, n_orig)]
         .add(dcompact, mode="drop")
     )
@@ -847,6 +862,9 @@ def _binned_blend_bwd(static, residuals, cotangents):
         return np.zeros(s.shape, jax.dtypes.float0)
 
     daux = jax.tree.map(zero_ct, aux_struct)
+    # the per-gaussian depth gradient (expected-depth output chain) flows
+    # back through aux["depth"] — rasterize passes depth differentiably
+    daux["depth"] = dorig[:, NPAY]
     return dfeats_tuple, daux, dbg
 
 

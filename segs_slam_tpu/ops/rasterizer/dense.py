@@ -97,6 +97,7 @@ def rasterize_dense(
     t_before = cum / om
     w = jnp.where(accept, alpha * t_before, 0.0)  # [P, N]
     color = w @ col_s  # [P, 3]
+    depth_map = w @ proj.depth[order]  # expected depth sum_i w_i d_i
     final_t = jnp.prod(jnp.where(accept, om, 1.0), axis=1)
     color = color + final_t[:, None] * bg[None, :]
 
@@ -104,5 +105,6 @@ def rasterize_dense(
     return {
         "image": image,
         "final_T": final_t.reshape(height, width),
+        "depth_map": depth_map.reshape(height, width),
         "radii": proj.radius,
     }

@@ -110,7 +110,10 @@ def rasterize(
         "rect_min_y": proj.rect_min[:, 1],
         "rect_w": proj.rect_max[:, 0] - proj.rect_min[:, 0],
         "touched": proj.tiles_touched.astype(jnp.int32),
-        "depth": jax.lax.stop_gradient(proj.depth),
+        # depth is differentiable: the expected-depth output's VJP returns a
+        # per-gaussian depth gradient through aux["depth"] (blend.py), which
+        # chains to means3d (and the camera pose) via the projection
+        "depth": proj.depth,
         "alive": proj.radius > 0,
     }
 

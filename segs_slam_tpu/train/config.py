@@ -107,6 +107,13 @@ class OptimizationConfig:
     # is reached unbiased.
     pose_prior_mode: str = "base"
     pose_ema_decay: float = 0.95
+    # Optional sensor-depth supervision (beyond reference; 0 = off): L1 on
+    # alpha-normalized rendered depth vs the keyframe's sensor depth over
+    # confident (opacity > 0.5), valid-sensor pixels, in relative-depth
+    # units. Pulls geometry onto the measured surface — counteracts the
+    # photometric blur that pose inconsistency across co-visible keyframes
+    # otherwise trains into the map.
+    lambda_depth: float = 0.0
 
     def lr_schedules(self) -> dict:
         """Schedules per param-tree path prefix; mirrors updateLearningRate

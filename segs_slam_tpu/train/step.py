@@ -158,7 +158,7 @@ def make_train_step(
     freq_scales = tuple(1.0 / 2**i for i in range(opt_config.scale_num))
 
     def step_fn(ts: TrainState, cam: dict, gt_image: jnp.ndarray,
-                bg: jnp.ndarray, kf_row=None):
+                bg: jnp.ndarray, kf_row=None, gt_depth=None):
         it = ts.step + 1
 
         params = {"anchors": ts.anchors.params(), "decoders": ts.decoders,
@@ -207,6 +207,17 @@ def make_train_step(
 
             lam = opt_config.lambda_dssim
             loss = (1.0 - lam) * l1 + lam * (1.0 - ssim_v) + 0.01 * scaling_reg
+            if opt_config.lambda_depth > 0.0 and gt_depth is not None:
+                # sensor-depth supervision (OptimizationConfig.lambda_depth):
+                # alpha-normalized expected depth vs sensor depth over
+                # confident, valid pixels, in relative-depth units
+                opac_img = 1.0 - out.final_T
+                dr = out.depth_map / jnp.maximum(opac_img, 1e-6)
+                dm = ((gt_depth > 0.0) & (opac_img > 0.5)).astype(jnp.float32)
+                dl1 = jnp.sum(
+                    jnp.abs(dr - gt_depth) / jnp.maximum(gt_depth, 0.1) * dm
+                ) / jnp.maximum(jnp.sum(dm), 1.0)
+                loss = loss + opt_config.lambda_depth * dl1
             if opt_pose:
                 # L2 prior damping the delta's random walk (see
                 # OptimizationConfig.pose_prior / pose_prior_mode)

@@ -65,6 +65,9 @@ class Trainer:
         self._rng = jax.random.PRNGKey(self.seed)
         self._cam_cache: dict[int, dict] = {}
         self._gt_cache: dict[tuple[int, int], jnp.ndarray] = {}
+        # sensor-depth planes for lambda_depth supervision (full-res level
+        # only; zeros when a keyframe carries no depth)
+        self._depth_cache: dict[int, jnp.ndarray] = {}
         self._pose_rows: dict[int, int] = {}  # kf_id -> pose-table row
         # pyramid level sizes: level i < num_sub_levels is w / 2^(num-i),
         # rounded to a multiple of 16 (reference: graphics_utils.h:26-40)
@@ -460,12 +463,22 @@ class Trainer:
         w, h = self._level_sizes[level] if self._level_sizes else (self.width, self.height)
         cam, gt = self._kf_inputs(kf, level)
         row = self._pose_rows.get(kf.kf_id) if self.optimize_poses else None
+        kw = {}
+        if (self.opt_config.lambda_depth > 0.0
+                and (w, h) == (self.width, self.height)):
+            d = self._depth_cache.get(kf.kf_id)
+            if d is None:
+                d = jnp.asarray(
+                    kf.depth if kf.depth is not None
+                    else np.zeros((self.height, self.width)), jnp.float32)
+                self._depth_cache[kf.kf_id] = d
+            kw["gt_depth"] = d
         if row is not None:
             self.state, metrics = self._step_for(w, h)(
-                self.state, cam, gt, self._bg, jnp.int32(row))
+                self.state, cam, gt, self._bg, jnp.int32(row), **kw)
         else:
             self.state, metrics = self._step_for(w, h)(
-                self.state, cam, gt, self._bg)
+                self.state, cam, gt, self._bg, **kw)
 
         oc = self.opt_config
         it = self.iteration

@@ -382,3 +382,62 @@ def test_dual_rate_expansion_parity():
                         ksmall=4, nlarge=8)
     img_t, _ = run(tiny)
     assert np.isfinite(img_t).all()
+
+
+def test_depth_and_final_t_gradients_match_dense_autodiff(small_config):
+    """The expected-depth and final-transmittance outputs carry gradients
+    (depth cotangent = 4th color channel; final_T cotangent folds into the
+    background pull — blend.py _bwd_kernel). Checked against dense autodiff
+    with a loss that exercises BOTH new cotangent paths plus color."""
+    from segs_slam_tpu.ops.rasterizer.dense import rasterize_dense
+
+    kf, means, scales, quats, opac, colors, bg = _scene(n=24, seed=11)
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(rng.uniform(size=(3, HEIGHT, WIDTH)), jnp.float32)
+    target_d = jnp.asarray(rng.uniform(1.5, 4.0, (HEIGHT, WIDTH)), jnp.float32)
+    common = dict(
+        world_view_transform=jnp.asarray(kf.world_view_transform),
+        full_proj_transform=jnp.asarray(kf.full_proj_transform),
+        width=WIDTH,
+        height=HEIGHT,
+        tan_fovx=kf.camera.tan_fovx,
+        tan_fovy=kf.camera.tan_fovy,
+        bg=jnp.asarray(bg, jnp.float32),
+        config=small_config,
+    )
+
+    def combined(out):
+        opac_img = 1.0 - out["final_T"]
+        dnorm = out["depth_map"] / jnp.maximum(opac_img, 1e-6)
+        dm = (opac_img > 0.5).astype(jnp.float32)
+        return (jnp.sum((out["image"] - target) ** 2)
+                + jnp.sum((dnorm - target_d) ** 2 * dm)
+                + jnp.sum(out["final_T"] ** 2))
+
+    def loss_ours(means_, opac_, colors_, scales_, quats_):
+        return combined(rasterize(means_, scales_, quats_, opac_, colors_,
+                                  **common))
+
+    def loss_dense(means_, opac_, colors_, scales_, quats_):
+        return combined(rasterize_dense(means_, scales_, quats_, opac_,
+                                        colors_, **common))
+
+    args = (
+        jnp.asarray(means, jnp.float32),
+        jnp.asarray(opac, jnp.float32),
+        jnp.asarray(colors, jnp.float32),
+        jnp.asarray(scales, jnp.float32),
+        jnp.asarray(quats, jnp.float32),
+    )
+    np.testing.assert_allclose(
+        float(loss_ours(*args)), float(loss_dense(*args)), rtol=1e-5
+    )
+    g_ours = jax.grad(loss_ours, argnums=(0, 1, 2, 3, 4))(*args)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2, 3, 4))(*args)
+    for go, gd, name in zip(g_ours, g_dense,
+                            ["means", "opac", "colors", "scales", "quats"]):
+        go, gd = np.asarray(go), np.asarray(gd)
+        assert np.isfinite(go).all(), name
+        scale = np.abs(gd).max() + 1e-6
+        np.testing.assert_allclose(go / scale, gd / scale, atol=2e-4,
+                                   err_msg=name)

@@ -111,3 +111,39 @@ def test_grown_anchors_land_on_voxel_grid(setup):
         for s in sizes:
             ok |= np.all(np.abs(new / s - np.round(new / s)) < 1e-4, axis=1)
         assert ok.all()
+
+
+def test_depth_supervision_improves_rendered_depth(setup):
+    """lambda_depth: the sensor-depth term carries real gradients (through
+    the blend VJP's expected-depth cotangent) and pulls the rendered depth
+    toward the target."""
+    import dataclasses
+
+    mc, oc, rc, ts, gt, cam_in = setup
+    ocd = dataclasses.replace(oc, lambda_depth=0.5)
+    step = jax.jit(make_train_step(mc, ocd, rc, W, H))
+    bg = jnp.zeros(3)
+    gt_depth = jnp.full((H, W), 2.5, jnp.float32)
+
+    def depth_err(ts_):
+        out = render(ts_.anchors, ts_.decoders, cam_in, W, H, bg, mc, rc)
+        opac = 1.0 - out.final_T
+        dm = (opac > 0.5).astype(jnp.float32)
+        dr = out.depth_map / jnp.maximum(opac, 1e-6)
+        return float(jnp.sum(jnp.abs(dr - gt_depth) * dm)
+                     / jnp.maximum(jnp.sum(dm), 1.0))
+
+    e0 = depth_err(ts)
+    ts2 = ts
+    for _ in range(30):
+        ts2, m = step(ts2, cam_in, gt, bg, None, gt_depth)
+        assert np.isfinite(float(m["loss"]))
+    e1 = depth_err(ts2)
+    # control without the depth term
+    step0 = jax.jit(make_train_step(mc, oc, rc, W, H))
+    ts3 = ts
+    for _ in range(30):
+        ts3, _ = step0(ts3, cam_in, gt, bg)
+    e_ctrl = depth_err(ts3)
+    assert e1 < 0.7 * e0, (e0, e1)
+    assert e1 < e_ctrl, (e1, e_ctrl)
