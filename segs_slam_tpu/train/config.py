@@ -107,6 +107,19 @@ class OptimizationConfig:
     # is reached unbiased.
     pose_prior_mode: str = "base"
     pose_ema_decay: float = 0.95
+    # Optimizer family for the pose group (the map always uses Adam):
+    # "adam":   scale-free steps — moves a pose ~lr per visit even when the
+    #           photometric gradient is pure noise at the optimum (the
+    #           measured 2.7 dB random-walk damage, RESULTS.md).
+    # "sgd":    bias-corrected momentum, step proportional to the gradient —
+    #           vanishes at the optimum; lr is in (loss-gradient) units, so
+    #           pose_lr_* needs retuning (sweep: scripts).
+    # "amsmax": Adam whose second moment is a non-decaying running max of
+    #           g^2 — early steps are Adam-conditioned (unit-free lr), but
+    #           once the max is set, steps scale with |g| and shrink to
+    #           zero as the photometric gradient does. Keeps the Adam lr
+    #           semantics while killing the stationary random walk.
+    pose_opt_mode: str = "adam"
     # Optional sensor-depth supervision (beyond reference; 0 = off): L1 on
     # alpha-normalized rendered depth vs the keyframe's sensor depth over
     # confident (opacity > 0.5), valid-sensor pixels, in relative-depth

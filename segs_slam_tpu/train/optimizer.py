@@ -48,13 +48,20 @@ def update(
     eps: float = 1e-15,
     row_mask_fn: Callable[[tuple], jnp.ndarray | None] | None = None,
     paths: Any = None,
+    mode_fn: Callable[[tuple], str] | None = None,
 ) -> tuple[Any, AdamState]:
     """One Adam step.
 
     lr_tree: pytree of scalar LRs matching `params` structure (leaves may be
     traced). row_mask_fn(path)->(rows,) bool or None: rows where the update
     applies (used to freeze inactive anchor slots).
-    """
+    mode_fn(path)->{"adam","sgd","amsmax"}: per-leaf optimizer family
+    (default "adam"). "sgd" = bias-corrected momentum (nu unused, step
+    proportional to the gradient); "amsmax" = second moment is a
+    non-decaying elementwise running max of g^2 (AMSGrad with b2=1): steps
+    are Adam-conditioned early and gradient-proportional at stationarity —
+    used for the pose group where Adam's scale-free steps random-walk
+    (OptimizationConfig.pose_opt_mode)."""
     count = state.step + 1
     c = count.astype(jnp.float32)
     bc1 = 1.0 - b1**c
@@ -71,9 +78,17 @@ def update(
     for (path, p), g, mu, nu, lr in zip(
         flat_params, flat_grads, flat_mu, flat_nu, flat_lr
     ):
+        mode = mode_fn(path) if mode_fn is not None else "adam"
         mu2 = b1 * mu + (1 - b1) * g
-        nu2 = b2 * nu + (1 - b2) * (g * g)
-        upd = lr * (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + eps)
+        if mode == "sgd":
+            nu2 = nu
+            upd = lr * (mu2 / bc1)
+        elif mode == "amsmax":
+            nu2 = jnp.maximum(nu, g * g)
+            upd = lr * (mu2 / bc1) / (jnp.sqrt(nu2) + eps)
+        else:
+            nu2 = b2 * nu + (1 - b2) * (g * g)
+            upd = lr * (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + eps)
         mask = row_mask_fn(path) if row_mask_fn is not None else None
         if mask is not None:
             shape = (-1,) + (1,) * (p.ndim - 1)

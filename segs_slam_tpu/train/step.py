@@ -349,8 +349,17 @@ def make_train_step(
                 return pose_mask
             return None
 
+        def opt_mode(path):
+            # pose group may use a non-Adam family: Adam's scale-free steps
+            # random-walk the deltas ~lr/visit at the photometric optimum
+            # (the measured 2.7 dB map blur, RESULTS.md ablation matrix)
+            if path[0].key == "pose":
+                return opt_config.pose_opt_mode
+            return "adam"
+
         new_params, new_adam = optimizer.update(
-            params, grads, ts.adam, lr_tree, row_mask_fn=row_mask
+            params, grads, ts.adam, lr_tree, row_mask_fn=row_mask,
+            mode_fn=opt_mode,
         )
 
         new_anchors = ts.anchors.replace_params(new_params["anchors"])

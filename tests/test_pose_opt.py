@@ -190,3 +190,65 @@ def test_ema_prior_tracks_delta_and_resets():
     tr.set_keyframe_pose(kf, kf.quat, kf.trans)
     assert not np.any(np.asarray(tr.state.pose)[row])
     assert not np.any(np.asarray(tr.state.pose_ema)[row])
+
+
+def test_optimizer_pose_modes_step_scaling():
+    """adam keeps ~lr-sized steps at tiny gradients (the random walk);
+    amsmax steps shrink proportionally once the running max is set; sgd
+    steps are plain bias-corrected momentum."""
+    from segs_slam_tpu.train import optimizer
+
+    lr = 1e-3
+
+    def run(mode, grads_seq):
+        params = {"pose": jnp.zeros((1, 6), jnp.float32)}
+        st = optimizer.init(params)
+        lr_tree = {"pose": lr}
+        mode_fn = (lambda path: mode)
+        steps = []
+        for g in grads_seq:
+            prev = params["pose"]
+            # b2=0.9 so adam's second moment adapts within the test window
+            # (at the default 0.999 the same re-inflation takes ~1000 steps;
+            # amsmax never re-inflates regardless of b2)
+            params, st = optimizer.update(
+                params, {"pose": g}, st, lr_tree, b2=0.9, mode_fn=mode_fn)
+            steps.append(float(jnp.max(jnp.abs(params["pose"] - prev))))
+        return steps
+
+    big = jnp.full((1, 6), 1.0, jnp.float32)
+    tiny = jnp.full((1, 6), 1e-4, jnp.float32)
+    seq = [big] * 5 + [tiny] * 250
+
+    adam_steps = run("adam", seq)
+    ams_steps = run("amsmax", seq)
+    sgd_steps = run("sgd", seq)
+
+    # once nu re-adapts to the tiny gradients, adam's step is back to ~lr
+    # even though the gradient dropped 1e4x ...
+    assert adam_steps[-1] > 0.3 * lr
+    # ... while amsmax scales with |g| / sqrt(max g^2) = 1e-4
+    assert ams_steps[-1] < 5e-4 * lr
+    # both are identically conditioned on the very first step (sign step)
+    assert abs(adam_steps[0] - ams_steps[0]) < 1e-9
+    # sgd: step -> lr * g at stationarity
+    assert abs(sgd_steps[-1] - lr * 1e-4) < 5e-8
+
+
+def test_optimizer_mode_fn_leaves_other_groups_adam():
+    from segs_slam_tpu.train import optimizer
+
+    params = {"pose": jnp.ones((1, 6)), "anchors": jnp.ones((4, 3))}
+    st = optimizer.init(params)
+    lr_tree = {"pose": 1e-2, "anchors": 1e-2}
+
+    def mode_fn(path):
+        return "sgd" if path[0].key == "pose" else "adam"
+
+    g = {"pose": jnp.full((1, 6), 2.0), "anchors": jnp.full((4, 3), 2.0)}
+    params2, st2 = optimizer.update(params, g, st, lr_tree, mode_fn=mode_fn)
+    # anchors took an adam sign-step of size lr; pose took lr*g
+    assert abs(float(params2["anchors"][0, 0]) - (1.0 - 1e-2)) < 1e-6
+    assert abs(float(params2["pose"][0, 0]) - (1.0 - 1e-2 * 2.0)) < 1e-6
+    # sgd leaves the second moment untouched (zeros)
+    assert not np.any(np.asarray(st2.nu["pose"]))
