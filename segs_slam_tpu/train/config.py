@@ -120,6 +120,11 @@ class OptimizationConfig:
     #           zero as the photometric gradient does. Keeps the Adam lr
     #           semantics while killing the stationary random walk.
     pose_opt_mode: str = "adam"
+    # First iteration at which the pose deltas may move (0 = immediately).
+    # The round-3 ablation localized the joint-opt damage to the EARLY
+    # transient (map still converging; its error gradients drag the deltas),
+    # not the stationary random walk — late-starting the deltas sidesteps it.
+    pose_opt_start: int = 0
     # Optional sensor-depth supervision (beyond reference; 0 = off): L1 on
     # alpha-normalized rendered depth vs the keyframe's sensor depth over
     # confident (opacity > 0.5), valid-sensor pixels, in relative-depth

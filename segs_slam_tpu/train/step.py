@@ -336,6 +336,13 @@ def make_train_step(
         # grads were pmean'd, so every chip applies the identical update.
         if opt_pose:
             pose_mask = jnp.arange(ts.pose.shape[0]) == kf_row
+            # late-start gate: freeze the deltas until the map has converged
+            # (the ablation matrix showed the damage is the EARLY transient —
+            # big map-error gradients drag the deltas before the map can
+            # disambiguate pose error from its own error; the stationary
+            # phase is harmless under amsmax). 0 = from the start.
+            if opt_config.pose_opt_start > 0:
+                pose_mask = pose_mask & (it >= opt_config.pose_opt_start)
             if axis_name is not None:
                 pose_mask = jax.lax.psum(
                     pose_mask.astype(jnp.float32), axis_name) > 0

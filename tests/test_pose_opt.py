@@ -252,3 +252,32 @@ def test_optimizer_mode_fn_leaves_other_groups_adam():
     assert abs(float(params2["pose"][0, 0]) - (1.0 - 1e-2 * 2.0)) < 1e-6
     # sgd leaves the second moment untouched (zeros)
     assert not np.any(np.asarray(st2.nu["pose"]))
+
+
+def test_pose_opt_start_gates_delta_updates():
+    """pose_opt_start freezes the delta rows until the given iteration."""
+    import dataclasses as _dc
+
+    tr, kfs = _make_trainer(optimize_poses=True)
+    tr.opt_config = _dc.replace(tr.opt_config, pose_opt_start=20)
+    tr._steps.clear()
+    kf = kfs[2]
+    _perturb(kf)
+    tr._cam_cache.pop(kf.kf_id, None)
+
+    def step_on_kf():
+        kf.remaining_times_of_use = max(kf.remaining_times_of_use, 1)
+        for other in kfs:
+            if other is not kf:
+                other.remaining_times_of_use = 0
+        return tr.train_iteration()
+
+    for _ in range(10):
+        step_on_kf()
+    row = tr._pose_rows[kf.kf_id]
+    assert not np.any(np.asarray(tr.state.pose)[row]), (
+        "delta moved before pose_opt_start")
+    for _ in range(15):
+        step_on_kf()
+    assert np.any(np.asarray(tr.state.pose)[row]), (
+        "delta still frozen after pose_opt_start")
