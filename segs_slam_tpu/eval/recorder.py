@@ -30,6 +30,49 @@ def _save_png(path: Path, img_chw: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
+RENDER_BATCH = 10  # frames per eval-render dispatch (batched lax.map form)
+
+
+def _timed_render_ms(trainer, chain, cams) -> float:
+    """Mean per-frame forward-render time over staged device-resident
+    cameras — the reference's render_time.txt semantics
+    (src/gaussian_mapper.cpp:1782-1808 times only the render; eval/run.py
+    computes FPS as 1000/mean). Frames are dispatched in batches of
+    RENDER_BATCH through EvalRenderer.render_batch (one jit dispatch per
+    batch: the ~1-2.5 ms tunnel dispatch overhead amortizes B-fold,
+    PERF_NOTES.md); falls back to per-frame dispatches when the renderer
+    has no batched form. The full set is timed around ONE sync (pipelined
+    throughput — the committed methodology; the per-frame-sync alternative
+    is documented in this module's docs)."""
+    import jax.numpy as jnp
+
+    anchors, decoders = trainer.state.anchors, trainer.state.decoders
+    batched = getattr(chain, "render_batch", None)
+    if batched is None or len(cams) < 2:
+        jax.block_until_ready(chain(anchors, decoders, cams[0]))
+        t0 = time.perf_counter()
+        imgs = [chain(anchors, decoders, c) for c in cams]
+        jax.block_until_ready(imgs)
+        return (time.perf_counter() - t0) * 1000.0 / len(cams)
+
+    bsz = min(RENDER_BATCH, len(cams))
+    # pad the tail batch by repeating the last camera so every dispatch
+    # reuses the one compiled (B,)-shape executable
+    n = len(cams)
+    padded = cams + [cams[-1]] * ((-n) % bsz)
+    stacks = []
+    for b0 in range(0, len(padded), bsz):
+        group = padded[b0:b0 + bsz]
+        stacks.append({k: jnp.stack([c[k] for c in group])
+                       for k in group[0]})
+    jax.block_until_ready(stacks)
+    jax.block_until_ready(batched(anchors, decoders, stacks[0]))  # warm
+    t0 = time.perf_counter()
+    outs = [batched(anchors, decoders, s) for s in stacks]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) * 1000.0 / len(padded)
+
+
 def record_all_keyframes(trainer, out_dir: str | Path,
                          record_images: bool = True,
                          tracking_times: list | None = None,
@@ -54,14 +97,8 @@ def record_all_keyframes(trainer, out_dir: str | Path,
     # docs, not here).
     chain = trainer._eval_render()
     cams = [trainer.refined_cam(kf) for _, kf in items]
-    if cams:  # warm the chained jits outside the timed region
-        jax.block_until_ready(
-            chain(trainer.state.anchors, trainer.state.decoders, cams[0]))
-        t0 = time.perf_counter()
-        imgs = [chain(trainer.state.anchors, trainer.state.decoders, c)
-                for c in cams]
-        jax.block_until_ready(imgs)
-        per_frame_ms = (time.perf_counter() - t0) * 1000.0 / len(cams)
+    if cams:
+        per_frame_ms = _timed_render_ms(trainer, chain, cams)
     else:
         per_frame_ms = 0.0
 
@@ -173,6 +210,12 @@ def record_all_frames(trainer, out_dir: str | Path, frames, est_poses,
             fn(trainer.state.anchors, trainer.state.decoders, cam, gt))
         jax.block_until_ready(
             chain(trainer.state.anchors, trainer.state.decoders, cam))
+        batched_warm = getattr(chain, "render_batch", None)
+        if batched_warm is not None and len(idxs) >= batch:
+            stack = {k: jnp.stack([cam[k]] * batch) for k in cam}
+            jax.block_until_ready(
+                batched_warm(trainer.state.anchors, trainer.state.decoders,
+                             stack))
 
     for b0 in range(0, len(idxs), batch):
         chunk = idxs[b0 : b0 + batch]
@@ -183,10 +226,20 @@ def record_all_frames(trainer, out_dir: str | Path, frames, est_poses,
         # semantics time the forward render only, gt transfer + metrics
         # outside the clock.
         jax.block_until_ready(inputs)
-        t0 = time.perf_counter()
-        timed = [chain(trainer.state.anchors, trainer.state.decoders, cam)
-                 for cam, _ in inputs]
-        jax.block_until_ready(timed)
+        batched = getattr(chain, "render_batch", None)
+        if batched is not None and len(inputs) == batch:
+            stack = {k: jnp.stack([cam[k] for cam, _ in inputs])
+                     for k in inputs[0][0]}
+            jax.block_until_ready(stack)
+            t0 = time.perf_counter()
+            timed = batched(trainer.state.anchors, trainer.state.decoders,
+                            stack)
+            jax.block_until_ready(timed)
+        else:  # tail chunk: per-frame dispatches (no (B,)-shape retrace)
+            t0 = time.perf_counter()
+            timed = [chain(trainer.state.anchors, trainer.state.decoders,
+                           cam) for cam, _ in inputs]
+            jax.block_until_ready(timed)
         per_ms = (time.perf_counter() - t0) * 1000.0 / len(chunk)
         outs = [fn(trainer.state.anchors, trainer.state.decoders, cam, gt)
                 for cam, gt in inputs]

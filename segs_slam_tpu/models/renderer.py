@@ -149,8 +149,7 @@ class EvalRenderer:
                     if packed and rc.tile == 16 and tx <= 63
                     and rc.kmax <= 31 else binned_blend)
 
-        @jax.jit
-        def _render(anchors, decoders, cam):
+        def _render_body(anchors, decoders, cam):
             grid_scale3 = jnp.exp(anchors.scaling[:, :3])
             rotation = anchors.rotation / jnp.maximum(
                 jnp.linalg.norm(anchors.rotation, axis=-1, keepdims=True),
@@ -187,10 +186,29 @@ class EvalRenderer:
                     .transpose(2, 0, 3, 1, 4)
                     .reshape(3, ty * b, tx * b)[:, :height, :width])
 
-        self._render = _render
+        import jax as _jax
+        from jax import lax as _lax
+
+        self._render = _jax.jit(_render_body)
+
+        # Batched form: render a STACK of cameras (every leaf of `cams` has
+        # a leading batch axis) in ONE jit dispatch. lax.map compiles the
+        # body once and runs it B times on-device, so the ~1-2.5 ms tunnel
+        # dispatch overhead (PERF_NOTES.md) is paid once per batch instead
+        # of once per frame.
+        @_jax.jit
+        def _render_batch(anchors, decoders, cams):
+            return _lax.map(lambda c: _render_body(anchors, decoders, c),
+                            cams)
+
+        self._render_batch = _render_batch
 
     def __call__(self, anchors, decoders, cam):
         return self._render(anchors, decoders, cam)
+
+    def render_batch(self, anchors, decoders, cams_stacked):
+        """One dispatch over a stacked cam pytree -> (B, 3, H, W)."""
+        return self._render_batch(anchors, decoders, cams_stacked)
 
     def jits(self):
         return (self._render,)

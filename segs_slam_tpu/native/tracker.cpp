@@ -1711,10 +1711,86 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   // create a keyframe at pose (R, t): re-observations for PnP inliers,
   // fresh map points from depth for unmatched keypoints, window push,
   // BA (1 fixed gauge pose — depth pins scale), registry row, loop check.
-  auto make_kf = [&](const cv::Mat& R, const cv::Mat& t,
+  auto make_kf = [&](const cv::Mat& R_in, const cv::Mat& t_in,
                      const std::vector<int>* inlier_mp,
                      const std::vector<int>* inlier_row) {
     int kf_id = T->next_kf_id++;
+    cv::Mat R = R_in.clone(), t = t_in.clone();
+
+    // Multi-anchor dense pose fusion (keyframe only) — OFF by default
+    // (opt-in: SG_KF_FUSE=1). NEGATIVE RESULT, kept for the record: fusing
+    // implied poses from dense alignments against older window keyframes
+    // was hypothesized to cut the medium-range relative inconsistency that
+    // blurs the map (RESULTS.md attribution matrix), but measured WORSE on
+    // synth_room: pure dense fusion 0.0354 ATE, input-pose-weighted fusion
+    // against the two oldest anchors 0.0246, baseline 0.0134. Two causes:
+    // (a) the per-alignment translation bias scales with displacement, so
+    // a long-span hop carries proportionally the same bias as the chain it
+    // replaces — no information gain; (b) any re-alignment dilutes the
+    // complementary map-absolute blend that bounds the dense equilibrium
+    // drift (same consensus-pull failure as pose-refine-on-arrival).
+    std::vector<cv::Mat> kf_gpyr, kf_dpyr;
+    build_pyramids(img, depth, w, h, /*levels=*/3, &kf_gpyr, &kf_dpyr);
+    if (getenv("SG_KF_FUSE") && !getenv("SG_ABL_NO_DENSE") &&
+        !getenv("SG_ABL_FORCE_GT") && !T->wkfs.empty()) {
+      cv::Mat c_cur = -R.t() * t;
+      std::vector<const WinKF*> cands;
+      for (const auto& wkf : T->wkfs) {  // ordered oldest -> newest
+        if (wkf.gray_pyr.empty()) continue;
+        cv::Mat dRa = R * wkf.R.t();
+        cv::Mat c_kf = -wkf.R.t() * wkf.t;
+        if (rotation_angle_deg(dRa) < 12.0 &&
+            cv::norm(c_kf - c_cur) < 0.25)
+          cands.push_back(&wkf);
+      }
+      // drop the newest anchors: one-hop alignments to them only echo the
+      // local consensus; the medium-span measurements are the information
+      while (cands.size() > 2) cands.pop_back();
+      std::vector<cv::Mat> centers, rots;
+      // the INPUT pose is a fusion member: it carries the complementary
+      // map-absolute blend from the tracking path, which a pure dense
+      // re-alignment would otherwise undo (measured: fusing dense-only
+      // implied poses tripled ATE by re-converging to the unblended dense
+      // equilibrium)
+      centers.push_back(-R.t() * t);
+      rots.push_back(R.clone());
+      for (const WinKF* a : cands) {
+        cv::Mat Ri = R.clone(), ti = t.clone();
+        dense_refine_sym(T, *a, kf_gpyr, kf_dpyr, &Ri, &ti);
+        centers.push_back(-Ri.t() * ti);
+        rots.push_back(Ri);
+      }
+      if (centers.size() >= 2) {
+        // component-wise median center, reject >3cm outlier alignments,
+        // average the survivors (centers + small rotation deltas around R)
+        cv::Mat med(3, 1, CV_64F);
+        for (int a = 0; a < 3; ++a) {
+          std::vector<double> v;
+          for (const auto& c : centers) v.push_back(c.at<double>(a));
+          std::nth_element(v.begin(), v.begin() + v.size() / 2, v.end());
+          med.at<double>(a) = v[v.size() / 2];
+        }
+        cv::Mat csum = cv::Mat::zeros(3, 1, CV_64F);
+        cv::Mat rsum = cv::Mat::zeros(3, 1, CV_64F);
+        int nkeep = 0;
+        for (size_t i = 0; i < centers.size(); ++i) {
+          if (cv::norm(centers[i] - med) > 0.03) continue;
+          csum += centers[i];
+          cv::Mat dR = rots[i] * R.t(), rv;
+          cv::Rodrigues(dR, rv);
+          rsum += rv;
+          ++nkeep;
+        }
+        if (nkeep > 0) {
+          cv::Mat dRm;
+          cv::Rodrigues(rsum / nkeep, dRm);
+          R = dRm * R;
+          t = -R * (csum / nkeep);
+        }
+      }
+      T->R_cur = R.clone();  // keep the frame pose consistent with the KF
+      T->t_cur = t.clone();
+    }
     cv::Mat C2W_R = R.t();
     cv::Mat cam_center = -C2W_R * t;
 
@@ -1757,8 +1833,8 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     kf.t = t.clone();
     kf.kps = kps;
     kf.desc = desc.clone();
-    build_pyramids(img, depth, w, h, /*levels=*/3, &kf.gray_pyr,
-                   &kf.depth_pyr);
+    kf.gray_pyr = std::move(kf_gpyr);
+    kf.depth_pyr = std::move(kf_dpyr);
     T->wkfs.push_back(std::move(kf));
     while (T->wkfs.size() > T->window) T->wkfs.pop_front();
     T->frames_since_kf = 0;

@@ -263,3 +263,32 @@ def test_packed_train_grads_match_unpacked():
                 np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
             assert cos > 0.99, cos
     assert any_nonzero
+
+
+def test_batched_eval_renderer_matches_per_frame():
+    """EvalRenderer.render_batch (one lax.map dispatch over a camera stack)
+    must reproduce the per-frame renders exactly — same body, one jit."""
+    from segs_slam_tpu.models.renderer import EvalRenderer
+
+    mc, anchors, decoders, cam_in, w, h = _scene(seed=13)
+    bg = jnp.zeros(3)
+    rc = RasterConfig(tile=16, compact=256, kmax=8, chunk=64,
+                      ksmall=2, nlarge=64)
+    er = EvalRenderer(mc, rc, w, h, bg, interpret=True)
+
+    cams = []
+    for i in range(3):
+        cam = Camera(camera_id=0, width=w, height=h, fx=40.0, fy=40.0,
+                     cx=w / 2, cy=h / 2)
+        kf = Keyframe(kf_id=i, camera=cam, quat=[1.0, 0.0, 0.0, 0.0],
+                      trans=[0.03 * i, -0.02 * i, 0.05 * i])
+        cams.append({k: jnp.asarray(np.asarray(v, np.float32))
+                     for k, v in kf.render_inputs().items()})
+
+    singles = [np.asarray(er(anchors, decoders, c)) for c in cams]
+    stack = {k: jnp.stack([c[k] for c in cams]) for k in cams[0]}
+    batch = np.asarray(er.render_batch(anchors, decoders, stack))
+    assert batch.shape == (3, 3, h, w)
+    for i in range(3):
+        np.testing.assert_allclose(batch[i], singles[i], atol=1e-6)
+    assert batch.max() > 0.0
