@@ -144,14 +144,19 @@ def _eval_fps(cap, compact, nlarge):
         rc = RasterConfig(tile=16, compact=compact, kmax=16, chunk=256,
                           ksmall=4, nlarge=nlarge)
         chain = EvalRenderer(mc, rc, width, height, jnp.zeros(3))
-        img = chain(anchors, decoders, cam_in)
-        jax.block_until_ready(img)
-        iters = 50
+        # recorder methodology (eval/recorder.py): batches of RENDER_BATCH
+        # frames per dispatch through render_batch
+        from segs_slam_tpu.eval.recorder import RENDER_BATCH
+
+        stack = {k: jnp.stack([cam_in[k]] * RENDER_BATCH) for k in cam_in}
+        imgs = chain.render_batch(anchors, decoders, stack)
+        jax.block_until_ready(imgs)
+        nbatch = 5
         t0 = time.time()
-        for _ in range(iters):
-            img = chain(anchors, decoders, cam_in)
-        jax.block_until_ready(img)
-        return round(iters / (time.time() - t0), 2)
+        for _ in range(nbatch):
+            imgs = chain.render_batch(anchors, decoders, stack)
+        jax.block_until_ready(imgs)
+        return round(nbatch * RENDER_BATCH / (time.time() - t0), 2)
     except Exception:
         traceback.print_exc()
         return None

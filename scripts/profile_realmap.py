@@ -177,6 +177,75 @@ def main():
     dt = (time.perf_counter() - t0) / N * 1000
     print(f"chained: {dt:7.2f} ms/frame ({1000/dt:6.1f} FPS)", flush=True)
 
+    # fused single-jit eval renderer (the production eval path)
+    from segs_slam_tpu.models.renderer import EvalRenderer
+
+    er = EvalRenderer(mc, rc, width, height, jnp.zeros(3))
+    jax.block_until_ready(er(st, decoders, cams[0]))
+    t0 = time.perf_counter()
+    imgs = [er(st, decoders, c) for c in use]
+    jax.block_until_ready(imgs)
+    dt = (time.perf_counter() - t0) / N * 1000
+    print(f"fused  : {dt:7.2f} ms/frame ({1000/dt:6.1f} FPS)", flush=True)
+
+    # batched (one lax.map dispatch per 10 frames) — recorder methodology
+    B = 10
+    padded = use + use[: (-len(use)) % B]
+    stacks = []
+    for b0 in range(0, len(padded), B):
+        grp = padded[b0:b0 + B]
+        stacks.append({k: jnp.stack([c[k] for c in grp]) for k in grp[0]})
+    jax.block_until_ready(stacks)
+    jax.block_until_ready(er.render_batch(st, decoders, stacks[0]))
+    t0 = time.perf_counter()
+    outs = [er.render_batch(st, decoders, s) for s in stacks]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / len(padded) * 1000
+    print(f"batched: {dt:7.2f} ms/frame ({1000/dt:6.1f} FPS)  [B={B}]",
+          flush=True)
+
+    # footprint histogram: how many tiles does each visible gaussian touch?
+    # (drives the ksmall/nlarge dual-rate split)
+    from segs_slam_tpu.models.neural_gaussians import (
+        generate_neural_gaussians,
+    )
+    from segs_slam_tpu.ops.rasterizer import visible_filter
+    from segs_slam_tpu.ops.rasterizer.preprocess import (
+        compute_cov3d,
+        preprocess_gaussians,
+    )
+
+    @jax.jit
+    def _touched(anchors, decoders, cam):
+        grid_scale3 = jnp.exp(anchors.scaling[:, :3])
+        rotation = anchors.rotation / jnp.maximum(
+            jnp.linalg.norm(anchors.rotation, axis=-1, keepdims=True),
+            1e-12)
+        visible = visible_filter(
+            anchors.anchor, grid_scale3, rotation,
+            cam["world_view_transform"], cam["full_proj_transform"],
+            width, height, cam["tan_fovx"], cam["tan_fovy"],
+            config=rc, valid=anchors.active)
+        neural = generate_neural_gaussians(
+            anchors, decoders, cam["camera_center"], cam["pose7"],
+            visible, mc)
+        cov3d = compute_cov3d(neural.scaling, neural.rotation, 1.0)
+        pr = preprocess_gaussians(
+            neural.xyz, cov3d, cam["world_view_transform"],
+            cam["full_proj_transform"], width, height,
+            cam["tan_fovx"], cam["tan_fovy"], rc, valid_in=neural.valid)
+        alive = pr.radius > 0
+        tc = jnp.where(alive, pr.tiles_touched.astype(jnp.int32), 0)
+        bins = jnp.asarray([1, 2, 4, 8, 16, 32, 10**9])
+        cum = jnp.asarray([jnp.sum(alive & (tc <= b)) for b in bins])
+        return jnp.sum(alive), cum, jnp.sum(tc)
+
+    nal, cum, tot = _touched(st, decoders, cams[0])
+    nal = int(nal)
+    print(f"alive {nal}, instances(sum touched) {int(tot)}; "
+          "cum touched<=1/2/4/8/16/32/inf: "
+          + "/".join(str(int(c)) for c in np.asarray(cum)), flush=True)
+
     # occupancy diagnostics
     from segs_slam_tpu.models.renderer import render
     out = jax.jit(lambda a, d, c: render(

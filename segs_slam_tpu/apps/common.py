@@ -16,6 +16,12 @@ from segs_slam_tpu.models.config import ModelConfig
 from segs_slam_tpu.ops.rasterizer import RasterConfig
 from segs_slam_tpu.slam.mapper import MapperConfig
 from segs_slam_tpu.train.config import OptimizationConfig
+from segs_slam_tpu.utils import jax_setup
+
+# Every app pays minutes of Pallas/big-sort compiles through the remote
+# compile helper without the persistent cache — turn it on at import so
+# repeat shapes are instant across runs.
+jax_setup.setup()
 
 # Per-dataset radial-tangential distortion (k1 k2 p1 p2 k3) defaults
 # (reference: cfg/ORB_SLAM3/RGB-D/TUM/tum_freiburg1_desk.yaml Camera1.k1...;

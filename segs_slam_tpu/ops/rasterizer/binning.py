@@ -413,7 +413,33 @@ def expand_and_sort_packed(pc: PackedCompact, num_tiles_x: int,
     cols = (pc.p_xy, pc.p_cab, pc.p_cco, pc.p_rg, pc.p_b, pc.dmeta)
     touched = ((pc.dmeta >> DEPTH_KEY_BITS) & 0x1F).astype(jnp.int32)
 
-    if config.ksmall:
+    if config.ksmall and config.nmid:
+        # three-tier expansion: one footprint-selection sort serves both
+        # upper tiers (sel is largest-touched-first, so sel[:nlarge] is a
+        # prefix of sel[:nmid])
+        ks, km_mid, nm, nl = (config.ksmall, config.kmid, config.nmid,
+                              config.nlarge)
+        assert nl <= nm and ks < km_mid < km
+        ukey_s, pays_s = _expand_grid_packed(cols, nc, 0, ks, tx, num_tiles)
+        sel_key = jnp.where(touched <= ks, km + 1, km - touched)
+        sel = lax.sort((sel_key,) + cols, num_keys=1, is_stable=True)
+        cols_m = tuple(f[:nm] for f in sel[1:])
+        cols_l = tuple(f[:nl] for f in sel[1:])
+        ukey_m, pays_m = _expand_grid_packed(cols_m, nm, ks, km_mid, tx,
+                                             num_tiles)
+        ukey_l, pays_l = _expand_grid_packed(cols_l, nl, km_mid, km, tx,
+                                             num_tiles)
+        ukey = jnp.concatenate([ukey_s, ukey_m, ukey_l])
+        pays = tuple(jnp.concatenate([a, b, c])
+                     for a, b, c in zip(pays_s, pays_m, pays_l))
+        touched_m = ((cols_m[5] >> DEPTH_KEY_BITS) & 0x1F).astype(jnp.int32)
+        touched_l = ((cols_l[5] >> DEPTH_KEY_BITS) & 0x1F).astype(jnp.int32)
+        num_instances = (
+            jnp.sum(jnp.minimum(touched, ks))
+            + jnp.sum(jnp.clip(touched_m - ks, 0, km_mid - ks))
+            + jnp.sum(jnp.maximum(touched_l - km_mid, 0)))
+        num_large = jnp.sum((touched > ks).astype(jnp.int32))
+    elif config.ksmall:
         ks, nl = config.ksmall, config.nlarge
         ukey_s, pays_s = _expand_grid_packed(cols, nc, 0, ks, tx, num_tiles)
         # selection: the nlarge largest footprints win the k >= ksmall slots

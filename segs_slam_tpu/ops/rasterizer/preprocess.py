@@ -48,6 +48,14 @@ class RasterConfig:
     # sort by ~compact*kmax / (compact*ksmall + nlarge*(kmax-ksmall)).
     ksmall: int = 0
     nlarge: int = 0
+    # Optional THIRD tier (packed eval path only; 0 = off): with kmid/nmid
+    # set, every gaussian gets ksmall slots, the nmid largest footprints get
+    # slots up to kmid, and the nlarge largest get the rest up to kmax
+    # (nlarge <= nmid; one shared footprint-selection sort serves both
+    # tiers). Matches the single-rate output exactly whenever nmid covers
+    # all footprints > ksmall and nlarge covers all > kmid.
+    kmid: int = 0
+    nmid: int = 0
     # Use the packed (f16-pair payload) binning sorts on the TRAINING path
     # too (binning.py packed section): ~2x less sorted bandwidth on the two
     # dominant sorts in exchange for f16 rounding of the blend features
@@ -64,6 +72,10 @@ class RasterConfig:
 
     @property
     def max_instances(self) -> int:
+        if self.ksmall and self.nmid:
+            return (self.compact * self.ksmall
+                    + self.nmid * (self.kmid - self.ksmall)
+                    + self.nlarge * (self.kmax - self.kmid))
         if self.ksmall:
             return self.compact * self.ksmall + self.nlarge * (
                 self.kmax - self.ksmall

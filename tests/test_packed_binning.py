@@ -292,3 +292,20 @@ def test_batched_eval_renderer_matches_per_frame():
     for i in range(3):
         np.testing.assert_allclose(batch[i], singles[i], atol=1e-6)
     assert batch.max() > 0.0
+
+
+def test_packed_three_tier_matches_unpacked():
+    """3-tier expansion (ksmall/kmid+nmid/kmax+nlarge) must reproduce the
+    full-grid image exactly when the tiers cover every footprint (nmid
+    covers all touched > ksmall, nlarge covers all touched > kmid)."""
+    rc3 = RasterConfig(tile=16, compact=256, kmax=8, chunk=64,
+                       ksmall=1, kmid=4, nmid=256, nlarge=128)
+    ref, packed = _image_pair(RasterConfig(tile=16, compact=256, kmax=8,
+                                           chunk=64), seed=5)
+    mc, anchors, decoders, cam_in, w, h = _scene(seed=5)
+    bg = jnp.zeros(3)
+    tiered = ChainedEvalRenderer(mc, rc3, w, h, bg, interpret=True,
+                                 packed=True)(anchors, decoders, cam_in)
+    assert ref.max() > 0.0
+    np.testing.assert_allclose(np.asarray(tiered), ref, atol=2e-2)
+    assert np.abs(np.asarray(tiered) - ref).mean() < 2e-3
