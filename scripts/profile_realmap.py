@@ -128,6 +128,8 @@ def main():
     p.add_argument("--kmax", type=int, default=16)
     p.add_argument("--ksmall", type=int, default=4)
     p.add_argument("--nlarge", type=int, default=8192)
+    p.add_argument("--kmid", type=int, default=0)
+    p.add_argument("--nmid", type=int, default=0)
     args = p.parse_args()
 
     from segs_slam_tpu.ops.rasterizer import RasterConfig
@@ -140,7 +142,8 @@ def main():
 
     rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax,
                       chunk=256, ksmall=args.ksmall,
-                      nlarge=args.nlarge if args.ksmall else 0)
+                      nlarge=args.nlarge if args.ksmall else 0,
+                      kmid=args.kmid, nmid=args.nmid)
     chain = ChainedEvalRenderer(mc, rc, width, height, jnp.zeros(3))
     dec, proj, blend = chain.jits()
 
