@@ -19,9 +19,9 @@ from segs_slam_tpu.train.config import OptimizationConfig
 from segs_slam_tpu.utils import jax_setup
 
 # Every app pays minutes of Pallas/big-sort compiles through the remote
-# compile helper without the persistent cache — turn it on at import so
-# repeat shapes are instant across runs.
-jax_setup.setup()
+# compile helper without the persistent cache. resolve_configs() (called by
+# every app main) turns it on — NOT module import, which indirect/test
+# imports hit with no business mutating global jax config (ADVICE r3).
 
 # Per-dataset radial-tangential distortion (k1 k2 p1 p2 k3) defaults
 # (reference: cfg/ORB_SLAM3/RGB-D/TUM/tum_freiburg1_desk.yaml Camera1.k1...;
@@ -86,6 +86,7 @@ def resolve_configs(args, iters_budget: int, mapper_overrides: dict | None
     explicit CLI values override iters/capacity; mapper_overrides (e.g.
     pose_refine_every from app flags) override the YAML mapper keys.
     """
+    jax_setup.setup()
     trainer_kwargs: dict = {}
     if args.mapper_yaml:
         from segs_slam_tpu.io.config_yaml import load_mapper_yaml

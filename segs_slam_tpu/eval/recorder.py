@@ -33,27 +33,36 @@ def _save_png(path: Path, img_chw: np.ndarray) -> None:
 RENDER_BATCH = 10  # frames per eval-render dispatch (batched lax.map form)
 
 
-def _timed_render_ms(trainer, chain, cams) -> float:
-    """Mean per-frame forward-render time over staged device-resident
-    cameras — the reference's render_time.txt semantics
-    (src/gaussian_mapper.cpp:1782-1808 times only the render; eval/run.py
-    computes FPS as 1000/mean). Frames are dispatched in batches of
-    RENDER_BATCH through EvalRenderer.render_batch (one jit dispatch per
-    batch: the ~1-2.5 ms tunnel dispatch overhead amortizes B-fold,
-    PERF_NOTES.md); falls back to per-frame dispatches when the renderer
-    has no batched form. The full set is timed around ONE sync (pipelined
-    throughput — the committed methodology; the per-frame-sync alternative
-    is documented in this module's docs)."""
+def _timed_render_ms(trainer, chain, cams) -> tuple[float, float]:
+    """Per-frame forward-render time over staged device-resident cameras,
+    measured BOTH ways; returns (batched_ms, per_dispatch_ms).
+
+    The reference's render_time.txt clocks one synced render per keyframe
+    (src/gaussian_mapper.cpp:1782-1808; eval/run.py computes FPS as
+    1000/mean). On this TPU the per-dispatch number carries a fixed
+    ~1-2.5 ms host->device tunnel round-trip per frame (PERF_NOTES.md) that
+    the GPU reference does not pay, so the committed headline batches
+    RENDER_BATCH frames per dispatch through EvalRenderer.render_batch
+    (amortizing the overhead B-fold) — a methodology CHANGE vs the
+    reference (ADVICE r3). Both numbers are written as artifacts:
+    render_time.txt (batched, headline) and render_time_per_dispatch.txt
+    (one dispatch per frame, one sync over the run — closest TPU analogue
+    of the reference's loop)."""
     import jax.numpy as jnp
 
     anchors, decoders = trainer.state.anchors, trainer.state.decoders
-    batched = getattr(chain, "render_batch", None)
-    if batched is None or len(cams) < 2:
+
+    def _per_dispatch():
         jax.block_until_ready(chain(anchors, decoders, cams[0]))
         t0 = time.perf_counter()
         imgs = [chain(anchors, decoders, c) for c in cams]
         jax.block_until_ready(imgs)
         return (time.perf_counter() - t0) * 1000.0 / len(cams)
+
+    batched = getattr(chain, "render_batch", None)
+    if batched is None or len(cams) < 2:
+        ms = _per_dispatch()
+        return ms, ms
 
     bsz = min(RENDER_BATCH, len(cams))
     # pad the tail batch by repeating the last camera so every dispatch
@@ -70,7 +79,8 @@ def _timed_render_ms(trainer, chain, cams) -> float:
     t0 = time.perf_counter()
     outs = [batched(anchors, decoders, s) for s in stacks]
     jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) * 1000.0 / len(padded)
+    batched_ms = (time.perf_counter() - t0) * 1000.0 / len(padded)
+    return batched_ms, _per_dispatch()
 
 
 def record_all_keyframes(trainer, out_dir: str | Path,
@@ -98,9 +108,10 @@ def record_all_keyframes(trainer, out_dir: str | Path,
     chain = trainer._eval_render()
     cams = [trainer.refined_cam(kf) for _, kf in items]
     if cams:
-        per_frame_ms = _timed_render_ms(trainer, chain, cams)
+        per_frame_ms, per_dispatch_ms = _timed_render_ms(trainer, chain,
+                                                         cams)
     else:
-        per_frame_ms = 0.0
+        per_frame_ms = per_dispatch_ms = 0.0
 
     # metrics pass (untimed): fused render+metrics per keyframe
     outputs = [trainer.render_and_measure_keyframe(kf) for _, kf in items]
@@ -124,6 +135,10 @@ def record_all_keyframes(trainer, out_dir: str | Path,
                 f.write(fmt.format(v) + "\n")
 
     dump("render_time.txt", render_ms)
+    # same render, one dispatch per frame (no batch amortization of the
+    # ~1-2.5 ms tunnel overhead) — the closest analogue of the reference's
+    # per-keyframe loop; see _timed_render_ms for the methodology note
+    dump("render_time_per_dispatch.txt", [per_dispatch_ms] * len(items))
     dump("psnr.txt", psnrs)
     dump("dssim.txt", dssims)
     dump("psnr_gaussian_splatting.txt", psnr_gs)

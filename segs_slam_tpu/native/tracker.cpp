@@ -1774,7 +1774,11 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
         cv::Mat rsum = cv::Mat::zeros(3, 1, CV_64F);
         int nkeep = 0;
         for (size_t i = 0; i < centers.size(); ++i) {
-          if (cv::norm(centers[i] - med) > 0.03) continue;
+          // index 0 (the input pose) is ALWAYS kept: with 2 members the
+          // component-wise "median" degenerates to the max, and rejecting
+          // the input while keeping the dense alignment re-converges to
+          // the pure dense equilibrium (measured to triple ATE; ADVICE r3)
+          if (i > 0 && cv::norm(centers[i] - med) > 0.03) continue;
           csum += centers[i];
           cv::Mat dR = rots[i] * R.t(), rv;
           cv::Rodrigues(dR, rv);

@@ -145,6 +145,8 @@ def expand_and_sort(
     num_tiles_y: int,
     config: RasterConfig,
 ) -> BinnedInstances:
+    assert not config.nmid, \
+        "3-tier (nmid) is packed-eval only; training expansion is 2-tier"
     nc, km = config.compact, config.kmax
     tx = num_tiles_x
     num_tiles = num_tiles_x * num_tiles_y
@@ -500,6 +502,8 @@ def expand_and_sort_packed_train(pc: PackedCompact, num_tiles_x: int,
     compact <= 2^16) and the per-instance depth column is reconstructed
     from the 21-bit depth key (the expected-depth output tolerates the
     ~0.02% relative truncation). Same 6 sort operands as the eval path."""
+    assert not config.nmid, \
+        "3-tier (nmid) is packed-eval only; training expansion is 2-tier"
     assert config.tile == 16, "packed expansion assumes 16px tiles"
     nc, km = config.compact, config.kmax
     assert nc <= (1 << 16), "packed_train gid packs into 16 payload bits"

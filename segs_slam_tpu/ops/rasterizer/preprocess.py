@@ -65,6 +65,25 @@ class RasterConfig:
     # compact <= 2^16 (gid packs into 16 payload bits).
     packed_train: bool = False
 
+    def __post_init__(self):
+        # 3-tier sizing (max_instances) is only implemented by the packed
+        # EVAL expansion (binning.expand_and_sort_packed); the training
+        # expansions are 2-tier. Reject inconsistent tier configs up front
+        # instead of producing a confusing trace-time shape error (ADVICE r3).
+        if self.nmid:
+            if not self.ksmall:
+                raise ValueError("nmid > 0 requires ksmall > 0")
+            if not (self.ksmall < self.kmid < self.kmax):
+                raise ValueError(
+                    f"need ksmall < kmid < kmax, got {self.ksmall}/"
+                    f"{self.kmid}/{self.kmax}")
+            if self.nlarge > self.nmid:
+                raise ValueError("nlarge must be <= nmid (tier prefix)")
+        elif self.kmid:
+            raise ValueError("kmid > 0 requires nmid > 0")
+        if self.ksmall and not self.nlarge:
+            raise ValueError("ksmall > 0 requires nlarge > 0")
+
     def grid(self, width: int, height: int) -> tuple[int, int]:
         tx = (width + self.tile - 1) // self.tile
         ty = (height + self.tile - 1) // self.tile

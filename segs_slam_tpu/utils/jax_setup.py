@@ -20,7 +20,13 @@ def setup(cache_dir: str | None = None) -> None:
     cache_dir = cache_dir or os.environ.get(
         "SEGS_JAX_CACHE", os.path.expanduser("~/.cache/jax_comp")
     )
-    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        # unwritable cache dir must never break an app/test import —
+        # compiles just lose persistence
+        _DONE = True
+        return
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _DONE = True
