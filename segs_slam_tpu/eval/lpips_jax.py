@@ -36,13 +36,23 @@ def _normalize(feat, eps=1e-10):
     return feat / (norm + eps)
 
 
-def make_lpips(params: dict):
+def make_lpips(params: dict, normalize: bool = False):
+    """Build lpips(img1, img2) on (3, H, W) images in [0, 1].
+
+    normalize mirrors the lpips package's flag: True rescales [0,1] input to
+    [-1,1] before the shift/scale layer (the documented convention); False
+    feeds the input straight to shift/scale. The reference's eval calls
+    lpips.LPIPS WITHOUT normalize on [0,1] to_tensor images
+    (/root/reference/eval/utils.py:16-20, run.py:123-130) — a range quirk
+    shared across the 3DGS ecosystem — so parity with the reference's
+    committed LPIPS numbers requires the default normalize=False.
+    """
     shift = jnp.asarray(params["shift"]).reshape(1, 3, 1, 1)
     scale = jnp.asarray(params["scale"]).reshape(1, 3, 1, 1)
 
     def features(x):
-        # x in [0, 1] NCHW -> scaled to [-1, 1] then normalized
-        x = 2.0 * x - 1.0
+        if normalize:
+            x = 2.0 * x - 1.0
         x = (x - shift) / scale
         feats = []
         h = jnp.maximum(_conv(x, params["conv1_w"], params["conv1_b"], 4, 2), 0)
