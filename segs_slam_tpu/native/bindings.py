@@ -114,6 +114,14 @@ def _load():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
+    lib.sg_tracker_pr_stats.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.sg_tracker_imu_init_state.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+    ]
     lib.sg_tracker_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -287,6 +295,26 @@ class NativeTracker:
         """World gravity vector (default (0, +9.81, 0): +y down)."""
         g = (ctypes.c_double * 3)(*[float(v) for v in g_w])
         self._lib.sg_tracker_set_gravity(self._h, g)
+
+    def pr_stats(self):
+        """Place-recognition counters: (queries, descriptor-bag matches run,
+        descriptors indexed). Sub-linearity surface for the inverted-index
+        retrieval (tracker.cpp LshIndex)."""
+        q = ctypes.c_long()
+        m = ctypes.c_long()
+        d = ctypes.c_long()
+        self._lib.sg_tracker_pr_stats(self._h, ctypes.byref(q),
+                                      ctypes.byref(m), ctypes.byref(d))
+        return q.value, m.value, d.value
+
+    def imu_init_state(self):
+        """(gyro_bias[3], gravity_w[3], state) with state 0 = default
+        gravity, 1 = online-estimated, 2 = externally set."""
+        b = (ctypes.c_double * 3)()
+        g = (ctypes.c_double * 3)()
+        s = ctypes.c_int()
+        self._lib.sg_tracker_imu_init_state(self._h, b, g, ctypes.byref(s))
+        return list(b), list(g), s.value
 
     def map_info(self):
         """Atlas state: (active_map, maps_created, merged_into_or_-1).

@@ -74,6 +74,14 @@ def main(argv=None):
                         "trajectory (reference analogue: the inertial entry "
                         "points; see utils/make_imu.py)")
     p.add_argument("--imu-rate", type=float, default=200.0)
+    p.add_argument("--imu-gyro-bias", type=float, nargs=3, default=[0, 0, 0],
+                   help="constant gyro bias [rad/s] baked into the stream "
+                        "(exercises the tracker's online bias estimator)")
+    p.add_argument("--imu-gravity", type=float, nargs=3,
+                   default=[0.0, 9.81, 0.0],
+                   help="world gravity vector the accelerometer measures "
+                        "against (non-default exercises the tracker's "
+                        "online gravity initializer)")
     p.add_argument("--cam-fps", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -164,7 +172,9 @@ def main(argv=None):
 
         times, gyro, accel = derive_imu(
             poses, cam_fps=args.cam_fps, imu_rate=args.imu_rate,
-            gyro_noise=2e-4, accel_noise=2e-3, seed=args.seed)
+            gyro_noise=2e-4, accel_noise=2e-3, seed=args.seed,
+            gyro_bias=tuple(args.imu_gyro_bias),
+            gravity_w=np.asarray(args.imu_gravity, float))
         write_imu_txt(out / "imu.txt", times, gyro, accel)
         print(f"wrote {len(times)} IMU samples to {out / 'imu.txt'}")
 

@@ -144,3 +144,52 @@ def test_tracker_pose_export_apis():
     assert list(ids) == list(tids[-len(ids):])
 
     assert tracker.poll_loop() == -1  # no revisit in a linear sweep
+
+
+def test_pr_index_and_imu_init_apis():
+    """Inverted-index place recognition stats + IMU-init introspection.
+
+    The PR contract (tracker.cpp LshIndex, the DBoW2 slot — reference:
+    ORB-SLAM3/Thirdparty/DBoW2 + KeyFrameDatabase): every loop/reloc query
+    runs at most loop_max_candidates descriptor-bag verifications however
+    large the registry is — the retrieval itself is bucket probes, not a
+    registry scan. The IMU contract: gyro bias starts at zero, gravity
+    starts at the default until estimated (state 0) or set (state 2).
+    """
+    w, h = 320, 240
+    fx = fy = 200.0
+    rng = np.random.default_rng(5)
+    pts = rng.uniform([-1.5, -1.0, 1.8], [1.5, 1.0, 2.6], (500, 3))
+
+    def view(dx):
+        p = pts - np.array([dx, 0, 0])
+        u = p[:, 0] / p[:, 2] * fx + w / 2
+        v = p[:, 1] / p[:, 2] * fy + h / 2
+        img = _render_dots(w, h, np.stack([u, v], 1))
+        depth = np.full((h, w), 2.2, np.float32)
+        for (uu, vv), z in zip(np.stack([u, v], 1), p[:, 2]):
+            ui, vi = int(uu), int(vv)
+            if 0 <= ui < w and 0 <= vi < h:
+                depth[max(0, vi - 3): vi + 3, max(0, ui - 3): ui + 3] = z
+        return img, depth
+
+    tracker = NativeTracker(fx, fy, w / 2, h / 2, n_features=800)
+    bias, grav, state = tracker.imu_init_state()
+    assert state == 0 and bias == [0.0, 0.0, 0.0]
+    np.testing.assert_allclose(grav, [0.0, 9.81, 0.0])
+    tracker.set_gravity([0.0, 0.0, 9.81])
+    _, grav2, state2 = tracker.imu_init_state()
+    assert state2 == 2 and grav2[2] == 9.81
+
+    n_kf = 0
+    for dx in np.linspace(0, 0.6, 14):
+        img, d = view(float(dx))
+        status, pose, n = tracker.track(img, d)
+        n_kf += status == 1
+    assert n_kf >= 2
+
+    queries, bags, descs = tracker.pr_stats()
+    assert descs > 100  # every registry keyframe was indexed
+    # every query verifies at most loop_max_candidates (12) bags — the
+    # sub-linear retrieval contract (no full-registry scans)
+    assert bags <= queries * 12
