@@ -11,6 +11,9 @@ Usage: python scripts/profile_realmap.py /root/results/room_oracle_8k_full \
 """
 
 import argparse
+import sys
+
+sys.path.insert(0, ".")
 import json
 import time
 from pathlib import Path
@@ -130,6 +133,7 @@ def main():
     p.add_argument("--nlarge", type=int, default=8192)
     p.add_argument("--kmid", type=int, default=0)
     p.add_argument("--nmid", type=int, default=0)
+    p.add_argument("--kanchor", type=int, default=0)
     args = p.parse_args()
 
     from segs_slam_tpu.ops.rasterizer import RasterConfig
@@ -143,7 +147,9 @@ def main():
     rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax,
                       chunk=256, ksmall=args.ksmall,
                       nlarge=args.nlarge if args.ksmall else 0,
-                      kmid=args.kmid, nmid=args.nmid)
+                      kmid=args.kmid, nmid=args.nmid,
+                      kanchor=args.kanchor,
+                      kgroup=mc.n_offsets if args.kanchor else 0)
     chain = ChainedEvalRenderer(mc, rc, width, height, jnp.zeros(3))
     dec, proj, blend = chain.jits()
 

@@ -59,6 +59,12 @@ def add_common_args(p, default_compact=2**16, default_kmax=8):
                    help="packed (f16-pair) binning sorts on the training "
                         "path (auto = on when tile/grid/kmax/compact "
                         "constraints hold; see RasterConfig.packed_train)")
+    p.add_argument("--model-set", action="append", default=[],
+                   help="ModelConfig field override, e.g. "
+                        "--model-set appearance_dim=0 (ablations)")
+    p.add_argument("--kanchor", type=int, default=0,
+                   help="per-anchor K-axis pre-compaction on the EVAL "
+                        "render path (see RasterConfig.kanchor); 0 = off")
     p.add_argument("--opt-set", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="override an OptimizationConfig field (repeatable), "
@@ -121,14 +127,26 @@ def resolve_configs(args, iters_budget: int, mapper_overrides: dict | None
         val = (raw.lower() in ("1", "true", "yes") if isinstance(cur, bool)
                else type(cur)(raw))
         oc = dataclasses.replace(oc, **{key: val})
+    for kv in getattr(args, "model_set", []):
+        key, _, raw = kv.partition("=")
+        if not hasattr(mc, key):
+            raise SystemExit(f"--model-set: ModelConfig has no field "
+                             f"{key!r}")
+        cur = getattr(mc, key)
+        val = (raw.lower() in ("1", "true", "yes") if isinstance(cur, bool)
+               else type(cur)(raw))
+        mc = dataclasses.replace(mc, **{key: val})
     # image size may not be resolved yet at this point, so "auto" gates on
     # the static constraints only; rasterize() itself asserts the tile-grid
     # width bound (<= 63 tiles) when the kernel is built
     packed = (args.packed_train == "on"
               or (args.packed_train == "auto" and args.kmax <= 31
                   and args.compact <= 2**16))
+    kanchor = getattr(args, "kanchor", 0)
     rc = RasterConfig(tile=16, compact=args.compact, kmax=args.kmax,
                       chunk=256, ksmall=args.ksmall,
                       nlarge=args.nlarge if args.ksmall else 0,
-                      packed_train=packed)
+                      packed_train=packed,
+                      kanchor=kanchor,
+                      kgroup=mc.n_offsets if kanchor else 0)
     return mc, oc, mpc, rc, trainer_kwargs

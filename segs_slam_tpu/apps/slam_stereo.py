@@ -159,11 +159,12 @@ def run_stereo_producer(pairs, rectifier: StereoRectifyMap, queue,
         ).astype(np.float32)
         t0 = time.perf_counter()
         if tracker is not None:
-            depth = _depth_from_disparity(gray_l, gray_r, cam,
-                                          rectifier.baseline,
-                                          max_depth=max_depth)
-            status, pose7, _ = tracker.track(
-                (gray_l * 255).astype(np.uint8), depth
+            # native stereo tracking (tracker.cpp sg_tracker_track_stereo):
+            # left-right ORB row matching gives per-feature metric depth
+            # inside the tracker; no host-side pseudo-depth needed
+            status, pose7, _ = tracker.track_stereo(
+                (gray_l * 255).astype(np.uint8),
+                (gray_r * 255).astype(np.uint8), rectifier.baseline
             )
             quat, trans = pose7[3:7], pose7[0:3]
             is_kf = status == 1

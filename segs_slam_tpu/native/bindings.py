@@ -76,6 +76,13 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
     ]
+    lib.sg_tracker_track_stereo.restype = ctypes.c_int
+    lib.sg_tracker_track_stereo.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     lib.sg_tracker_track_mono.restype = ctypes.c_int
     lib.sg_tracker_track_mono.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
@@ -221,6 +228,25 @@ class NativeTracker:
             gray_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             depth_f32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             w, h, pose, ctypes.byref(n_inl),
+        )
+        return status, np.array(pose[:7]), n_inl.value
+
+    def track_stereo(self, gray_l_u8: np.ndarray, gray_r_u8: np.ndarray,
+                     baseline: float):
+        """Native rectified-stereo tracking (tracker.cpp
+        sg_tracker_track_stereo): ORB left-right row matching -> per-feature
+        metric depth + dense BM depth. Returns (status, pose7, n_inliers)."""
+        h, w = gray_l_u8.shape
+        gl = np.ascontiguousarray(gray_l_u8, np.uint8)
+        gr = np.ascontiguousarray(gray_r_u8, np.uint8)
+        pose = (ctypes.c_double * 7)()
+        n_inl = ctypes.c_int()
+        status = self._lib.sg_tracker_track_stereo(
+            self._h,
+            gl.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            gr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            w, h, ctypes.c_double(float(baseline)), pose,
+            ctypes.byref(n_inl),
         )
         return status, np.array(pose[:7]), n_inl.value
 

@@ -253,6 +253,20 @@ struct Tracker {
   int merged_into = -1;      // map id of the latest merge target (poll)
 
 
+  // --- covisibility pose-graph relaxation (reference slot: pose refreshes
+  // after local BA, ORB-SLAM3/src/LocalMapping.cc:149-160; the graph here
+  // is built from DEPTH-ONLY dense pairwise alignments between medium-span
+  // covisible keyframes — the round-3 attribution matrix localized the
+  // native-vs-oracle mapping gap to medium-range RELATIVE pose
+  // inconsistency, and depth-only (projective ICP) measurements sidestep
+  // the splat-parallax bias of photometric alignment).
+  struct PgEdge {
+    int id_a, id_b;       // keyframe ids (a newer than b)
+    cv::Mat R_ab, t_ab;   // measured T_a * T_b^{-1}
+  };
+  std::vector<PgEdge> pg_edges;
+  int pose_graph = -1;   // -1: read SG_POSE_GRAPH once; 0/1 cached
+
   // global bundle adjustment (reference: ORB-SLAM3
   // Optimizer::GlobalBundleAdjustemnt, run after every accepted loop
   // closure). Runs ONLY after loop closures by default: cadence GBA on a
@@ -959,7 +973,7 @@ void build_pyramids(const cv::Mat& gray_u8, const float* depth, int w, int h,
 void dense_refine(const Tracker* T, const WinKF& kf,
                   const std::vector<cv::Mat>& cur_gray_pyr,
                   const std::vector<cv::Mat>& cur_depth_pyr, cv::Mat* R,
-                  cv::Mat* t) {
+                  cv::Mat* t, double wi_mult = 1.0) {
   if (kf.gray_pyr.empty()) return;
   // relative pose: keyframe camera -> current camera
   cv::Mat R_rel = (*R) * kf.R.t();
@@ -1012,10 +1026,11 @@ void dense_refine(const Tracker* T, const WinKF& kf,
           const float zM = std::max(std::max(drow[u - 1], drow[u + 1]),
                                     std::max(drow_m[u], drow_p[u]));
           if (zm <= T->min_depth || (zM - zm) > zgate * z) continue;
-          // cheap gradient gate on the keyframe image
+          // cheap gradient gate on the keyframe image (skipped for the
+          // depth-only mode: flat-intensity pixels still carry depth signal)
           const float gix = irow[u + 1] - irow[u - 1];
           const float giy = Ik.at<float>(v + 1, u) - Ik.at<float>(v - 1, u);
-          if (gix * gix + giy * giy < 1e-4f) continue;
+          if (wi_mult > 0.0 && gix * gix + giy * giy < 1e-4f) continue;
           const double X = (u - cx) / fx * z, Y = (v - cy) / fy * z;
           const double Xc = r00 * X + r01 * Y + r02 * z + tx;
           const double Yc = r10 * X + r11 * Y + r12 * z + ty;
@@ -1039,9 +1054,9 @@ void dense_refine(const Tracker* T, const WinKF& kf,
               jx * Zc - jz * Xc,
               -jx * Yc + jy * Xc,
           };
-          double wi = 1.0;
+          double wi = wi_mult;  // wi_mult=0: depth-only (projective ICP)
           const double ari = std::abs(r_i);
-          if (ari > huber_i) wi = huber_i / ari;
+          if (ari > huber_i) wi *= huber_i / ari;
           cost += wi * r_i * r_i;
           // accumulate intensity block
           {
@@ -1137,9 +1152,9 @@ void dense_refine(const Tracker* T, const WinKF& kf,
 void dense_refine_sym(const Tracker* T, const WinKF& kf,
                       const std::vector<cv::Mat>& cur_gray_pyr,
                       const std::vector<cv::Mat>& cur_depth_pyr, cv::Mat* R,
-                      cv::Mat* t) {
+                      cv::Mat* t, double wi_mult = 1.0) {
   cv::Mat R_f = R->clone(), t_f = t->clone();
-  dense_refine(T, kf, cur_gray_pyr, cur_depth_pyr, &R_f, &t_f);
+  dense_refine(T, kf, cur_gray_pyr, cur_depth_pyr, &R_f, &t_f, wi_mult);
 
   // reverse: hold the (forward-refined) current pose, optimize a virtual
   // pose for the keyframe image against the current frame's pyramids
@@ -1150,7 +1165,8 @@ void dense_refine_sym(const Tracker* T, const WinKF& kf,
   cur_ref.gray_pyr = cur_gray_pyr;
   cur_ref.depth_pyr = cur_depth_pyr;
   cv::Mat R_kfv = kf.R.clone(), t_kfv = kf.t.clone();
-  dense_refine(T, cur_ref, kf.gray_pyr, kf.depth_pyr, &R_kfv, &t_kfv);
+  dense_refine(T, cur_ref, kf.gray_pyr, kf.depth_pyr, &R_kfv, &t_kfv,
+               wi_mult);
   // implied current pose from the reverse relative transform and the TRUE
   // keyframe pose: T_cur_implied = T_rel_rev^{-1} * T_kf
   cv::Mat R_rel = R_kfv * R_f.t();
@@ -1171,6 +1187,147 @@ void dense_refine_sym(const Tracker* T, const WinKF& kf,
   cv::Mat R_m = half * R_f;
   *R = R_m;
   *t = -R_m * c_m;
+}
+
+// --- covisibility pose-graph relaxation ------------------------------------
+//
+// Measures depth-only dense relative poses between the new keyframe and
+// medium-span window keyframes, then relaxes the WINDOW poses over all
+// surviving pairwise constraints (Gauss-Newton on (rv, dc) per pose, oldest
+// window pose fixed as gauge, weak prior to the incoming poses). Targets
+// the round-3 finding that the mapping gap is medium-range RELATIVE pose
+// inconsistency across covisible keyframes (8.9 mm over 8 frames) which
+// neither joint pose-opt (structurally net-negative) nor arrival alignment
+// (pulls to consensus) could correct. Gated by SG_POSE_GRAPH.
+void covis_pose_graph_relax(Tracker* T) {
+  const int m = static_cast<int>(T->wkfs.size());
+  if (m < 3) return;
+  const WinKF& nw = T->wkfs.back();
+  if (nw.gray_pyr.empty()) return;
+  const double wi_mult =
+      getenv("SG_PG_WI") ? atof(getenv("SG_PG_WI")) : 0.0;
+
+  for (int span : {2, 4, 8}) {
+    int bi = m - 1 - span;
+    if (bi < 0) continue;
+    const WinKF& old = T->wkfs[bi];
+    if (old.gray_pyr.empty()) continue;
+    cv::Mat dRa = nw.R * old.R.t();
+    cv::Mat c_n = -nw.R.t() * nw.t, c_o = -old.R.t() * old.t;
+    if (rotation_angle_deg(dRa) > 15.0 || cv::norm(c_n - c_o) > 0.4)
+      continue;
+    cv::Mat R_a = nw.R.clone(), t_a = nw.t.clone();
+    dense_refine_sym(T, old, nw.gray_pyr, nw.depth_pyr, &R_a, &t_a,
+                     wi_mult);
+    Tracker::PgEdge e;
+    e.id_a = nw.id;
+    e.id_b = old.id;
+    e.R_ab = R_a * old.R.t();
+    e.t_ab = t_a - e.R_ab * old.t;
+    T->pg_edges.push_back(std::move(e));
+  }
+
+  // prune edges that lost an endpoint to the sliding window
+  std::map<int, int> widx;
+  for (int i = 0; i < m; ++i) widx[T->wkfs[i].id] = i;
+  {
+    std::vector<Tracker::PgEdge> keep;
+    for (auto& e : T->pg_edges)
+      if (widx.count(e.id_a) && widx.count(e.id_b))
+        keep.push_back(std::move(e));
+    T->pg_edges = std::move(keep);
+  }
+  if (T->pg_edges.size() < 4) return;
+
+  const double w_rot = 2.0;       // rad residuals get a lever-arm weight
+  const double w_t = 1.0;
+  const double w_prior = 0.15;    // anchor to the incoming poses (gauge+abs)
+  std::vector<cv::Mat> R0(m), c0(m);
+  for (int i = 0; i < m; ++i) {
+    R0[i] = T->wkfs[i].R.clone();
+    c0[i] = -R0[i].t() * T->wkfs[i].t;
+  }
+  const int nv = m - 1;           // pose 0 fixed
+  std::vector<double> x(6 * nv, 0.0);
+
+  auto pose_of = [&](int i, const std::vector<double>& xs, cv::Mat* R,
+                     cv::Mat* c) {
+    if (i == 0) {
+      *R = R0[0];
+      *c = c0[0];
+      return;
+    }
+    const double* p = &xs[6 * (i - 1)];
+    cv::Mat rv = (cv::Mat_<double>(3, 1) << p[0], p[1], p[2]);
+    cv::Mat dR;
+    cv::Rodrigues(rv, dR);
+    *R = dR * R0[i];
+    *c = c0[i] + (cv::Mat_<double>(3, 1) << p[3], p[4], p[5]);
+  };
+
+  auto residuals = [&](const std::vector<double>& xs,
+                       std::vector<double>* r) {
+    r->clear();
+    for (const auto& e : T->pg_edges) {
+      int ia = widx[e.id_a], ib = widx[e.id_b];
+      cv::Mat Ra, ca, Rb, cb;
+      pose_of(ia, xs, &Ra, &ca);
+      pose_of(ib, xs, &Rb, &cb);
+      cv::Mat ta = -Ra * ca, tb = -Rb * cb;
+      cv::Mat Rrel = Ra * Rb.t();
+      cv::Mat trel = ta - Rrel * tb;
+      cv::Mat rve;
+      cv::Rodrigues(cv::Mat(e.R_ab.t() * Rrel), rve);
+      for (int k = 0; k < 3; ++k)
+        r->push_back(w_rot * rve.at<double>(k));
+      for (int k = 0; k < 3; ++k)
+        r->push_back(w_t * (trel.at<double>(k) - e.t_ab.at<double>(k)));
+    }
+    for (int i = 0; i < 6 * nv; ++i) r->push_back(w_prior * xs[i]);
+  };
+
+  std::vector<double> r0v;
+  for (int it = 0; it < 4; ++it) {
+    residuals(x, &r0v);
+    const int nr = static_cast<int>(r0v.size());
+    cv::Mat J(nr, 6 * nv, CV_64F), rm(nr, 1, CV_64F);
+    for (int k = 0; k < nr; ++k) rm.at<double>(k) = r0v[k];
+    const double eps = 1e-6;
+    std::vector<double> xp = x, rp;
+    for (int j = 0; j < 6 * nv; ++j) {
+      xp[j] = x[j] + eps;
+      residuals(xp, &rp);
+      xp[j] = x[j];
+      for (int k = 0; k < nr; ++k)
+        J.at<double>(k, j) = (rp[k] - r0v[k]) / eps;
+    }
+    cv::Mat H = J.t() * J, g = J.t() * rm, dx;
+    for (int j = 0; j < 6 * nv; ++j)
+      H.at<double>(j, j) *= 1.0 + 1e-6;
+    if (!cv::solve(H, -g, dx, cv::DECOMP_CHOLESKY)) return;
+    for (int j = 0; j < 6 * nv; ++j) x[j] += dx.at<double>(j);
+    if (cv::norm(dx) < 1e-9) break;
+  }
+
+  // write back (bounded: relaxation refines, never re-estimates)
+  for (int i = 1; i < m; ++i) {
+    const double* p = &x[6 * (i - 1)];
+    double rn = std::sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2]);
+    double cn = std::sqrt(p[3] * p[3] + p[4] * p[4] + p[5] * p[5]);
+    if (rn > 0.05 || cn > 0.05) continue;  // ~3 deg / 5 cm guard
+    cv::Mat R, c;
+    pose_of(i, x, &R, &c);
+    T->wkfs[i].R = R.clone();
+    T->wkfs[i].t = -R * c;
+    T->gkfs[T->wkfs[i].id].R = T->wkfs[i].R.clone();
+    T->gkfs[T->wkfs[i].id].t = T->wkfs[i].t.clone();
+  }
+  if (getenv("SG_TRACKER_DEBUG")) {
+    double s0 = 0;
+    for (double v : r0v) s0 += v * v;
+    fprintf(stderr, "[pose-graph] kf=%d edges=%zu cost=%.3e\n", nw.id,
+            T->pg_edges.size(), s0);
+  }
 }
 
 // --- loop closing ---------------------------------------------------------
@@ -1788,15 +1945,14 @@ void* sg_tracker_create(double fx, double fy, double cx, double cy,
   return T;
 }
 
-// Track one RGB-D frame.
-//   gray: uint8 h*w, depth: float h*w (meters)
-//   pose_out: 7 doubles (tx ty tz qw qx qy qz), world-to-camera
-// Returns: 1 = tracked & new keyframe, 0 = tracked, -1 = lost/bootstrap.
-int sg_tracker_track(void* handle, const unsigned char* gray,
-                     const float* depth, int w, int h, double* pose_out,
-                     int* n_inliers_out) {
-  auto* T = static_cast<Tracker*>(handle);
-  cv::Mat img(h, w, CV_8UC1, const_cast<unsigned char*>(gray));
+// Shared RGB-D/stereo tracking body: keypoints+descriptors are computed by
+// the caller (RGB-D detects on the gray frame; stereo detects on the
+// rectified LEFT frame and derives per-keypoint metric depth from
+// left-right matching before calling in).
+static int track_depth_impl(Tracker* T, const cv::Mat& img,
+                            const float* depth, int w, int h,
+                            std::vector<cv::KeyPoint>& kps, cv::Mat& desc,
+                            double* pose_out, int* n_inliers_out) {
   const int frame_no = T->frame_counter++;
 
   // Atlas: tracking has been lost beyond recovery — abandon the active map
@@ -1822,11 +1978,6 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
       fprintf(stderr, "[atlas] f=%d new map %d spawned\n", frame_no,
               T->active_map);
   }
-
-  std::vector<cv::KeyPoint> kps;
-  cv::Mat desc;
-  T->orb->detectAndCompute(img, cv::noArray(), kps, desc);
-  refine_subpixel(img, kps);
 
   cv::Mat K = (cv::Mat_<double>(3, 3) << T->fx, 0, T->cx, 0, T->fy, T->cy,
                0, 0, 1);
@@ -1977,6 +2128,16 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
     T->kf_map.push_back(T->active_map);
     T->pr_index.insert(g.id, g.desc);
     T->gkfs.push_back(std::move(g));
+
+    if (T->pose_graph < 0) {
+      const char* pg = getenv("SG_POSE_GRAPH");
+      T->pose_graph = pg ? atoi(pg) : 0;
+    }
+    if (T->pose_graph && !getenv("SG_ABL_FORCE_GT")) {
+      covis_pose_graph_relax(T);
+      T->R_cur = T->wkfs.back().R.clone();
+      T->t_cur = T->wkfs.back().t.clone();
+    }
 
     if (!getenv("SG_ABL_NO_LBA")) {
       local_ba(T, K, /*nfix=*/1);
@@ -2505,6 +2666,166 @@ int sg_tracker_track(void* handle, const unsigned char* gray,
   return 0;
 }
 
+// Track one RGB-D frame.
+//   gray: uint8 h*w, depth: float h*w (meters)
+//   pose_out: 7 doubles (tx ty tz qw qx qy qz), world-to-camera
+// Returns: 1 = tracked & new keyframe, 0 = tracked, -1 = lost/bootstrap.
+int sg_tracker_track(void* handle, const unsigned char* gray,
+                     const float* depth, int w, int h, double* pose_out,
+                     int* n_inliers_out) {
+  auto* T = static_cast<Tracker*>(handle);
+  cv::Mat img(h, w, CV_8UC1, const_cast<unsigned char*>(gray));
+  std::vector<cv::KeyPoint> kps;
+  cv::Mat desc;
+  T->orb->detectAndCompute(img, cv::noArray(), kps, desc);
+  refine_subpixel(img, kps);
+  return track_depth_impl(T, img, depth, w, h, kps, desc, pose_out,
+                          n_inliers_out);
+}
+
+// Track one rectified STEREO pair natively (reference: ORB-SLAM3's stereo
+// path — ORB on the left image, left-right descriptor matching along
+// rectified rows with SAD subpixel refinement, per-feature metric depth
+// feeding the same depth-residual machinery as RGB-D; entry
+// examples/euroc_stereo.cpp:379-381 feeds rectified pairs). Depth layers:
+//   * per-keypoint: 1-D banded ORB matching left->right + parabola-refined
+//     SAD disparity -> metric depth splatted at the keypoint pixels (these
+//     drive PnP depth residuals, map-point creation and BA depth terms);
+//   * dense: block-matching disparity (cv::StereoBM) -> depth image for
+//     the dense direct refinement pyramids and non-corner lookups
+//     (reference analogue: cv::cuda::StereoSGM in the mapper,
+//     src/gaussian_mapper.cpp:1591-1650).
+int sg_tracker_track_stereo(void* handle, const unsigned char* grayL,
+                            const unsigned char* grayR, int w, int h,
+                            double baseline, double* pose_out,
+                            int* n_inliers_out) {
+  auto* T = static_cast<Tracker*>(handle);
+  cv::Mat imgL(h, w, CV_8UC1, const_cast<unsigned char*>(grayL));
+  cv::Mat imgR(h, w, CV_8UC1, const_cast<unsigned char*>(grayR));
+
+  std::vector<cv::KeyPoint> kps, kpsR;
+  cv::Mat desc, descR;
+  T->orb->detectAndCompute(imgL, cv::noArray(), kps, desc);
+  refine_subpixel(imgL, kps);
+  T->orb->detectAndCompute(imgR, cv::noArray(), kpsR, descR);
+
+  // dense BM depth (fixed-point disparity*16); fills the pyramids and
+  // non-corner depth lookups
+  std::vector<float> depth(static_cast<size_t>(w) * h, 0.0f);
+  {
+    int ndisp = static_cast<int>(T->fx * baseline / 0.25);  // cover >=0.25 m
+    ndisp = std::min(((ndisp + 15) / 16) * 16, 128);
+    cv::Ptr<cv::StereoBM> bm = cv::StereoBM::create(std::max(ndisp, 16), 15);
+    cv::Mat disp16;
+    bm->compute(imgL, imgR, disp16);
+    const double fb = T->fx * baseline;
+    for (int v = 0; v < h; ++v) {
+      const int16_t* drow = disp16.ptr<int16_t>(v);
+      float* zrow = &depth[static_cast<size_t>(v) * w];
+      for (int u = 0; u < w; ++u) {
+        if (drow[u] > 16) {  // > 1 px disparity
+          double z = fb * 16.0 / drow[u];
+          if (z > T->min_depth && z < T->max_depth)
+            zrow[u] = static_cast<float>(z);
+        }
+      }
+    }
+  }
+
+  // per-keypoint disparity: banded ORB matching (rectification makes it a
+  // 1-D search) + SAD parabola subpixel on the full-resolution row
+  {
+    // row index of right keypoints
+    std::vector<std::vector<int>> rows(h);
+    for (size_t j = 0; j < kpsR.size(); ++j) {
+      int v = static_cast<int>(kpsR[j].pt.y + 0.5f);
+      if (v >= 0 && v < h) rows[v].push_back(static_cast<int>(j));
+    }
+    const double max_disp = T->fx * baseline / std::max(T->min_depth, 0.25);
+    int n_stereo = 0;
+    for (size_t i = 0; i < kps.size(); ++i) {
+      const float uL = kps[i].pt.x, vL = kps[i].pt.y;
+      const float band = 2.0f + 2.0f * static_cast<float>(
+          octave_sigma(kps[i]));
+      int best = 61, best_j = -1;
+      for (int dv = -static_cast<int>(band); dv <= static_cast<int>(band);
+           ++dv) {
+        int v = static_cast<int>(vL + 0.5f) + dv;
+        if (v < 0 || v >= h) continue;
+        for (int j : rows[v]) {
+          double d = uL - kpsR[j].pt.x;
+          if (d < 0.5 || d > max_disp) continue;
+          if (std::abs(kpsR[j].pt.y - vL) > band) continue;
+          int ham = static_cast<int>(cv::norm(
+              desc.row(static_cast<int>(i)), descR.row(j),
+              cv::NORM_HAMMING));
+          if (ham < best) {
+            best = ham;
+            best_j = j;
+          }
+        }
+      }
+      if (best_j < 0) continue;
+      // SAD subpixel around the matched right x (ORB-SLAM3
+      // ComputeStereoMatches-style): 11x11 window, slide +-4 px, parabola
+      const int W2 = 5, S = 4;
+      int ui = static_cast<int>(uL + 0.5f), vi = static_cast<int>(vL + 0.5f);
+      int ur0 = static_cast<int>(kpsR[best_j].pt.x + 0.5f);
+      double disp;
+      if (ui - W2 < 0 || ui + W2 >= w || vi - W2 < 0 || vi + W2 >= h ||
+          ur0 - W2 - S < 0 || ur0 + W2 + S >= w) {
+        disp = uL - kpsR[best_j].pt.x;
+      } else {
+        double sad[2 * S + 1];
+        int best_s = -1;
+        double best_sad = 1e18;
+        for (int s = -S; s <= S; ++s) {
+          double acc = 0;
+          for (int dy = -W2; dy <= W2; ++dy) {
+            const uint8_t* lrow = imgL.ptr<uint8_t>(vi + dy);
+            const uint8_t* rrow = imgR.ptr<uint8_t>(vi + dy);
+            for (int dx = -W2; dx <= W2; ++dx)
+              acc += std::abs(static_cast<int>(lrow[ui + dx]) -
+                              static_cast<int>(rrow[ur0 + s + dx]));
+          }
+          sad[s + S] = acc;
+          if (acc < best_sad) {
+            best_sad = acc;
+            best_s = s;
+          }
+        }
+        double ur = ur0 + best_s;
+        if (best_s > -S && best_s < S) {
+          double l = sad[best_s + S - 1], c = sad[best_s + S],
+                 r = sad[best_s + S + 1];
+          double den = l + r - 2 * c;
+          if (den > 1e-9) ur += 0.5 * (l - r) / den;
+        }
+        disp = uL - ur;
+      }
+      if (disp < 0.5 || disp > max_disp) continue;
+      double z = T->fx * baseline / disp;
+      if (z <= T->min_depth || z >= T->max_depth) continue;
+      // splat a 3x3 patch so sample_depth's 3x3 median sees a consistent
+      // neighborhood at the keypoint pixel
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dx = -1; dx <= 1; ++dx) {
+          int u2 = ui + dx, v2 = vi + dy;
+          if (u2 >= 0 && u2 < w && v2 >= 0 && v2 < h)
+            depth[static_cast<size_t>(v2) * w + u2] =
+                static_cast<float>(z);
+        }
+      ++n_stereo;
+    }
+    if (getenv("SG_TRACKER_DEBUG"))
+      fprintf(stderr, "[stereo] kpsL=%zu kpsR=%zu matched=%d\n", kps.size(),
+              kpsR.size(), n_stereo);
+  }
+
+  return track_depth_impl(T, imgL, depth.data(), w, h, kps, desc, pose_out,
+                          n_inliers_out);
+}
+
 // ===== Monocular tracking: persistent map points + local bundle adjustment
 //
 // Track one MONOCULAR frame (no depth). Same contract as sg_tracker_track;
@@ -2573,15 +2894,55 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
-    // ratio-test matching: crossCheck alone aliases badly on self-similar
-    // texture, and a single aliased tail poisons the essential matrix
-    std::vector<std::vector<cv::DMatch>> knn;
-    T->matcher_knn->knnMatch(T->init_desc, desc, knn, 2);
+    // Spatially-guided matching against the anchor frame: pre-bootstrap
+    // inter-frame motion is small, so each anchor keypoint's match must lie
+    // within a window around its own position. Global ratio-test matching
+    // decayed to ~10% of matches within 4 frames on self-similar texture
+    // (the second-best alias is everywhere), which forced re-anchoring
+    // before enough parallax accumulated — the round-3 late-bootstrap
+    // (~f21) root cause.
     std::vector<cv::DMatch> matches;
-    for (const auto& mv : knn) {
-      if (mv.size() < 2) continue;
-      if (mv[0].distance <= 50 && mv[0].distance < 0.75f * mv[1].distance)
-        matches.push_back(mv[0]);
+    {
+      const float radius = 0.06f * w;
+      const int cellb = 32;
+      const int gw = (w + cellb - 1) / cellb, gh = (h + cellb - 1) / cellb;
+      std::vector<std::vector<int>> grid(gw * gh);
+      for (size_t k = 0; k < kps.size(); ++k) {
+        int cxg = static_cast<int>(kps[k].pt.x) / cellb;
+        int cyg = static_cast<int>(kps[k].pt.y) / cellb;
+        if (cxg >= 0 && cxg < gw && cyg >= 0 && cyg < gh)
+          grid[cyg * gw + cxg].push_back(static_cast<int>(k));
+      }
+      const int reach = static_cast<int>(radius) / cellb + 1;
+      for (size_t i = 0; i < T->init_kps.size(); ++i) {
+        const cv::Point2f p0 = T->init_kps[i].pt;
+        int cu = static_cast<int>(p0.x) / cellb;
+        int cv_ = static_cast<int>(p0.y) / cellb;
+        int best = 61, second = 61, best_k = -1;
+        for (int dy = -reach; dy <= reach; ++dy)
+          for (int dx = -reach; dx <= reach; ++dx) {
+            int gx = cu + dx, gy = cv_ + dy;
+            if (gx < 0 || gx >= gw || gy < 0 || gy >= gh) continue;
+            for (int k : grid[gy * gw + gx]) {
+              if (std::abs(kps[k].pt.x - p0.x) > radius ||
+                  std::abs(kps[k].pt.y - p0.y) > radius)
+                continue;
+              int d = static_cast<int>(cv::norm(
+                  T->init_desc.row(static_cast<int>(i)), desc.row(k),
+                  cv::NORM_HAMMING));
+              if (d < best) {
+                second = best;
+                best = d;
+                best_k = k;
+              } else if (d < second) {
+                second = d;
+              }
+            }
+          }
+        if (best_k < 0 || best >= second - 5) continue;  // windowed ratio
+        matches.emplace_back(static_cast<int>(i), best_k,
+                             static_cast<float>(best));
+      }
     }
     if (getenv("SG_TRACKER_DEBUG"))
       fprintf(stderr, "[mono-boot] f=%d matches=%zu\n", frame_no,
@@ -2607,8 +2968,14 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     }
     if (getenv("SG_TRACKER_DEBUG"))
       fprintf(stderr, "[mono-boot] f=%d med_disp=%.1f need=%.1f\n", frame_no,
-              med_disp, 0.008 * w);
-    if (med_disp < 0.008 * w) {  // not enough parallax yet
+              med_disp, 0.004 * w);
+    // Earlier bootstrap (VERDICT r3 #5: initialize before frame 10): accept
+    // at half the round-3 disparity requirement and let the added QUALITY
+    // gates below (recoverPose cheirality count, triangulation count, and a
+    // median-parallax-angle floor) reject degenerate early geometry.
+    // Reference: ORB-SLAM3 Tracking.cc MonocularInitialization requires 1
+    // deg median parallax rather than a fixed pixel disparity.
+    if (med_disp < 0.004 * w) {  // not enough parallax yet
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
@@ -2659,10 +3026,29 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
       pts.push_back({X, q0[i], q1[i], rows1[i]});
       depths.push_back(X.z);
     }
+    // median parallax angle gate: with the lower disparity threshold the
+    // two-view geometry can be accepted only when the triangulated rays
+    // actually diverge (baseline/depth conditioning), mirroring ORB-SLAM3's
+    // 1-degree median-parallax requirement
+    double med_par = 0.0;
+    if (!pts.empty()) {
+      cv::Mat c1 = -R.t() * t;  // second camera center (first at origin)
+      std::vector<double> par;
+      par.reserve(pts.size());
+      for (const auto& p : pts) {
+        cv::Mat X = (cv::Mat_<double>(3, 1) << p.X.x, p.X.y, p.X.z);
+        cv::Mat r0 = X / std::max(cv::norm(X), 1e-12);
+        cv::Mat r1m = X - c1;
+        cv::Mat r1 = r1m / std::max(cv::norm(r1m), 1e-12);
+        par.push_back(std::acos(std::min(1.0, std::max(-1.0, r0.dot(r1)))));
+      }
+      std::nth_element(par.begin(), par.begin() + par.size() / 2, par.end());
+      med_par = par[par.size() / 2] * 180.0 / CV_PI;
+    }
     if (getenv("SG_TRACKER_DEBUG"))
-      fprintf(stderr, "[mono-boot] f=%d triangulated=%zu\n", frame_no,
-              pts.size());
-    if (pts.size() < 30) {
+      fprintf(stderr, "[mono-boot] f=%d triangulated=%zu med_par=%.2f deg\n",
+              frame_no, pts.size(), med_par);
+    if (pts.size() < 50 || med_par < 0.9) {
       write_pose7(T->R_cur, T->t_cur, pose_out);
       return -1;
     }
@@ -2839,11 +3225,26 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     if (getenv("SG_TRACKER_DEBUG"))
       fprintf(stderr, "[mono] jump t=%.3f r=%.2f\n", cv::norm(c_new - c_old),
               rotation_angle_deg(dRj));
-    if ((cv::norm(c_new - c_old) > 0.3 || rotation_angle_deg(dRj) > 12.0) &&
-        T->reject_streak < 10) {
+    if (cv::norm(c_new - c_old) > 0.3 || rotation_angle_deg(dRj) > 12.0) {
+      // NEVER blind-accept after a streak (mirrors the RGB-D path: an
+      // accepted wrong pose poisons the map through keyframe creation —
+      // measured as the round-4 mono death spiral: a jump accepted at
+      // streak 10 staled out 142 of 161 map points). Instead, if the map
+      // is young and tracking cannot recover, re-run the two-view
+      // bootstrap from scratch.
       T->reject_streak++;
       *n_inliers_out = static_cast<int>(inliers.size());
       T->have_vel = false;
+      if (T->reject_streak >= 15) {
+        T->mpts.clear();
+        T->wkfs.clear();
+        T->mono_initialized = false;
+        T->init_kps.clear();
+        T->reject_streak = 0;
+        if (getenv("SG_TRACKER_DEBUG"))
+          fprintf(stderr, "[mono] f=%d re-bootstrap (reject streak)\n",
+                  frame_no);
+      }
       return -1;
     }
     T->reject_streak = 0;
@@ -2856,8 +3257,11 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
   T->R_cur = R;
   T->t_cur = t;
   T->frames_since_kf++;
-  for (int idx : inliers)
-    T->mpts[match_mp[idx]].last_seen_frame = frame_no;
+  for (int idx : inliers) {
+    auto& mp = T->mpts[match_mp[idx]];
+    mp.last_seen_frame = frame_no;
+    mp.desc = desc.row(match_row[idx]).clone();  // keep descriptors fresh
+  }
   write_pose7(R, t, pose_out);
   *n_inliers_out = static_cast<int>(inliers.size());
 

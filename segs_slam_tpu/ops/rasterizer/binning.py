@@ -338,6 +338,41 @@ def compact_gaussians_packed(feats, aux, config: RasterConfig,
         _pack2f16(b, jnp.zeros_like(b)) | (rmx << 16) | (rmy << 24),
         dmeta,
     )
+    num_valid = jnp.sum(alive.astype(jnp.int32))
+    if config.kanchor and not with_orig and n % config.kgroup == 0:
+        # per-anchor K-axis pre-compaction: priority-sort each anchor's
+        # kgroup gaussians along the tiny lane axis (a vectorized sorting
+        # network across all anchors at once) and keep the kanchor most
+        # opaque — shrinking the global compaction sort's input rows by
+        # kanchor/kgroup. The dropped overflow (anchors with > kanchor
+        # alive offsets) coincides with what the global opacity-priority
+        # compaction would drop under capacity pressure anyway.
+        ka, kg = config.kanchor, config.kgroup
+        grouped = [[c.reshape(-1, kg)[:, j] for c in cols]
+                   for j in range(kg)]  # kg slots x ncol column vectors
+        # Explicit compare-exchange network (Batcher-ish via insertion
+        # bubbles, ~kg^2/2 CEs of pure elementwise select): lax.sort along
+        # a tiny axis-1 lowers catastrophically on TPU (measured ~20 ms
+        # fixed overhead for 2-D sorts), while kg^2/2 vectorized CEs over
+        # [cap] lanes are essentially free.
+        for pass_ in range(kg):
+            lo = pass_ % 2
+            for j in range(lo, kg - 1, 2):
+                a, b = grouped[j], grouped[j + 1]
+                swap = a[0] > b[0]  # key = operand 0 (priority)
+                grouped[j] = [jnp.where(swap, y, x) for x, y in zip(a, b)]
+                grouped[j + 1] = [jnp.where(swap, x, y)
+                                  for x, y in zip(a, b)]
+        cols = tuple(
+            jnp.stack([grouped[j][ci] for j in range(ka)],
+                      axis=1).reshape(-1)
+            for ci in range(len(cols)))
+        n = n // kg * ka
+        if n < nc:
+            cols = tuple(jnp.pad(c, (0, nc - n),
+                                 constant_values=(1 << 24) if i == 0 else 0)
+                         for i, c in enumerate(cols))
+            n = nc
     if with_orig:
         cols = cols + (jnp.arange(n, dtype=jnp.int32),)
     out = lax.sort(cols, num_keys=1, is_stable=True)
@@ -352,7 +387,7 @@ def compact_gaussians_packed(feats, aux, config: RasterConfig,
         p_b=out[5][:nc],
         dmeta=dmeta_s,
         valid=valid,
-        num_valid=jnp.sum(alive.astype(jnp.int32)),
+        num_valid=num_valid,
         orig_id=out[7][:nc] if with_orig else None,
     )
 
@@ -400,10 +435,14 @@ def _expand_grid_packed(cols, nc, k_lo, k_hi, tx, num_tiles,
 
 
 def expand_and_sort_packed(pc: PackedCompact, num_tiles_x: int,
-                           num_tiles_y: int, config: RasterConfig):
+                           num_tiles_y: int, config: RasterConfig,
+                           return_packed: bool = False):
     """Packed-instance sort (6 operands vs 12): returns (feats_sorted
     [NPAY+1 f32 columns in the blend kernel's order], tile_start, tile_stop,
-    num_instances, num_large). Eval only (no gid/orig_id for gradients)."""
+    num_instances, num_large). Eval only (no gid/orig_id for gradients).
+    With return_packed the post-sort unpack is skipped entirely and the
+    first element is the 5 sorted u32 payload columns (p_xy tile-local,
+    p_cab, p_cco, p_rg, p_b) for the in-kernel-unpacking blend."""
     assert config.tile == 16, "packed expansion assumes 16px tiles"
     nc, km = config.compact, config.kmax
     tx = num_tiles_x
@@ -466,6 +505,14 @@ def expand_and_sort_packed(pc: PackedCompact, num_tiles_x: int,
     out = lax.sort((ukey,) + pays, num_keys=1, is_stable=True)
     ukey_sorted = out[0]
     tile_sorted = (ukey_sorted >> DEPTH_KEY_BITS).astype(jnp.int32)
+
+    if return_packed:
+        tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+        tile_start = jnp.searchsorted(tile_sorted, tiles,
+                                      side="left").astype(jnp.int32)
+        tile_stop = jnp.searchsorted(tile_sorted, tiles,
+                                     side="right").astype(jnp.int32)
+        return (out[1:], tile_start, tile_stop, num_instances, num_large)
 
     # unpack to the blend kernel's f32 feature columns; absolute mean2d is
     # reconstructed from the instance's tile id

@@ -126,6 +126,32 @@ def _pixel_basis(px, py):
     )  # [P, 6]
 
 
+def _f16_bits_to_f32(h):
+    """Exact IEEE f16 -> f32 from a u32 vector holding the f16 bit pattern
+    in its low 16 bits, as pure integer ops + one same-width bitcast (Mosaic
+    lowers u32<->f32 bitcasts; u16<->f16 vector bitcasts are avoided).
+    Handles signed normals and subnormals; inf/nan never occur (the packer
+    quantized finite f32s)."""
+    s = (h & 0x8000) << 16
+    e = (h >> 10) & 0x1F
+    m = h & 0x3FF
+    normal_bits = (s | ((e + 112) << 23) | (m << 13)).astype(jnp.uint32)
+    normal = lax.bitcast_convert_type(normal_bits, jnp.float32)
+    sign = jnp.where(s > 0, -1.0, 1.0)
+    # Mosaic has no u32->f32 cast; m <= 0x3FF so going through i32 is exact
+    sub = m.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        5.9604645e-8) * sign
+    return jnp.where(e > 0, normal, sub)
+
+
+def _f16lo(u):
+    return _f16_bits_to_f32(u & 0xFFFF)
+
+
+def _f16hi(u):
+    return _f16_bits_to_f32(u >> 16)
+
+
 def _chunk_alpha_mxu(chunk, basis, ox, oy, lo, hi, base, cfg):
     """Alpha for a [P, C] block via the MXU quadratic form (forward path).
 
@@ -166,6 +192,156 @@ def _chunk_alpha_mxu(chunk, basis, ox, oy, lo, hi, base, cfg):
     alpha = jnp.where(ok, alpha, 0.0)
     opg = jnp.where(ok, opg, 0.0)
     return alpha, opg
+
+
+def _chunk_alpha_mxu_packed(chunk, basis, lo, hi, base, cfg):
+    """_chunk_alpha_mxu for a PACKED [8, C] u32 chunk (binning.py packed
+    column layout, rows: p_xy, p_cab, p_cco, p_rg, p_b, 3x pad). mean2d is
+    already instance-tile-local (expansion re-based it), so no ox/oy shift.
+    Returns (alpha, colors [3, C])."""
+    c = chunk.shape[1]
+    x = _f16lo(chunk[0:1, :])
+    y = _f16hi(chunk[0:1, :])
+    ca = _f16lo(chunk[1:2, :])
+    cb = _f16hi(chunk[1:2, :])
+    cc = _f16lo(chunk[2:3, :])
+    op = _f16hi(chunk[2:3, :])
+    r = _f16lo(chunk[3:4, :])
+    g = _f16hi(chunk[3:4, :])
+    b = _f16lo(chunk[4:5, :] & 0xFFFF)
+
+    coef = jnp.concatenate(
+        [
+            -0.5 * (ca * x * x + cc * y * y) - cb * x * y,
+            ca * x + cb * y,
+            cc * y + cb * x,
+            -0.5 * ca,
+            -cb,
+            -0.5 * cc,
+        ],
+        axis=0,
+    )  # [6, C]
+    power = lax.dot_general(
+        basis, coef, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [P, C]
+    alpha = jnp.minimum(cfg.alpha_clamp, op * jnp.exp(power))
+
+    idx = lax.broadcasted_iota(jnp.int32, (1, c), 1) + base
+    inside = (idx >= lo) & (idx < hi)
+    ok = inside & (power <= 0.0) & (alpha >= cfg.alpha_min)
+    alpha = jnp.where(ok, alpha, 0.0)
+    colors = jnp.concatenate([r, g, b], axis=0)  # [3, C]
+    return alpha, colors
+
+
+def _fwd_kernel_eval_packed(
+    # scalar prefetch
+    start_ref,
+    stop_ref,
+    # inputs
+    feats_hbm,  # [8, NK + chunk] u32 in HBM, (tile, depth)-sorted, packed
+    bg_ref,  # [3, 1] VMEM
+    # outputs
+    color_ref,  # [SUP, 3, P]
+    # scratch
+    chunk_vmem,  # [2, 8, C] u32
+    dma_sem,
+    *,
+    cfg,
+    tx,
+    npix,
+    sup,
+):
+    """_fwd_kernel_eval over PACKED u32 feature columns: the sorted payloads
+    are DMA'd as-is (8 u32 rows vs 16 f32 rows) and the f16 pairs are
+    decoded on the VPU per chunk — eliminating the post-sort unpack +
+    [NFEAT, NK] f32 materialization entirely (the eval path's third-largest
+    cost after the two sorts)."""
+    i = pl.program_id(0)
+    t0 = i * sup
+    ch = cfg.chunk
+    tri_i = _tri_incl(ch)
+    bg = bg_ref[:, :]  # [3, 1]
+
+    p = lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
+    px0 = (p % cfg.tile).astype(jnp.float32)
+    py = (p // cfg.tile).astype(jnp.float32)
+    basis = _pixel_basis(px0, py)
+
+    for s in range(sup):
+        t = t0 + s
+        start = start_ref[t]
+        stop = stop_ref[t]
+        astart = (start // ch) * ch
+        lo = start - astart
+        hi = stop - astart
+
+        def dma(ci, astart=astart):
+            off = pl.multiple_of(astart + ci * ch, ch)
+            return pltpu.make_async_copy(
+                feats_hbm.at[:, pl.ds(off, ch)], chunk_vmem.at[ci % 2],
+                dma_sem.at[ci % 2]
+            )
+
+        @pl.when(hi > 0)
+        def _():
+            dma(0).start()
+
+        def body(ci, carry, dma=dma, lo=lo, hi=hi):
+            T, C, done = carry
+            base = ci * ch
+
+            @pl.when((ci + 1) * ch < hi)
+            def _():
+                dma(ci + 1).start()
+
+            dma(ci).wait()
+            chunk = chunk_vmem[ci % 2, :, :]
+
+            alpha, colors = _chunk_alpha_mxu_packed(chunk, basis, lo, hi,
+                                                    base, cfg)
+            om = 1.0 - alpha
+            cum = _prefix_prod_lane(om, tri_i)
+            test_t = T * cum
+            accept = (test_t >= cfg.transmittance_min) & (done < 0.5)
+            t_before = T * cum / om
+            w = jnp.where(accept, alpha * t_before, 0.0)
+
+            C = C + lax.dot_general(
+                colors, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            T = jnp.min(jnp.where(accept, test_t, T), axis=1, keepdims=True)
+            done = jnp.maximum(
+                done,
+                jnp.max(
+                    jnp.where((alpha > 0.0) & jnp.logical_not(accept), 1.0,
+                              0.0),
+                    axis=1,
+                    keepdims=True,
+                ),
+            )
+            return T, C, done
+
+        def cond(state, hi=hi):
+            ci, (_, _, done) = state
+            return (ci * ch < hi) & (jnp.min(done) < 0.5)
+
+        def step(state, body=body):
+            ci, carry = state
+            return ci + 1, body(ci, carry)
+
+        T0 = jnp.ones((npix, 1), jnp.float32)
+        C0 = jnp.zeros((3, npix), jnp.float32)
+        done0 = jnp.zeros((npix, 1), jnp.float32)
+        ci_end, (T, C, _) = lax.while_loop(cond, step, (0, (T0, C0, done0)))
+
+        @pl.when(ci_end * ch < hi)
+        def _():
+            dma(ci_end).wait()
+
+        color_ref[s, :, :] = C + bg * T.reshape(1, npix)
 
 
 def _fwd_kernel(
@@ -661,11 +837,29 @@ def binned_blend_eval(feats, aux, bg, static):
     nt = tx * ty
 
     pc = compact_gaussians_packed(feats, aux, cfg)
-    feats_sorted, tile_start, tile_stop, num_instances, num_large = (
-        expand_and_sort_packed(pc, tx, ty, cfg)
-    )
-    nk = cfg.max_instances
-    feats_hbm = _stack_feats(feats_sorted, nk, cfg.chunk)
+    # in-kernel unpack everywhere (interpret mode included, so CPU tests
+    # exercise the exact decode); the f32 branch is kept for A/B profiling
+    packed_kernel = True
+    if packed_kernel:
+        cols_sorted, tile_start, tile_stop, num_instances, num_large = (
+            expand_and_sort_packed(pc, tx, ty, cfg, return_packed=True)
+        )
+        nk = cfg.max_instances
+        # [8, NK + chunk] u32: 5 payload rows + 3 pad rows (8-row VMEM tile)
+        stacked = jnp.stack(
+            list(cols_sorted) + [jnp.zeros((nk,), jnp.uint32)] * 3, axis=0)
+        feats_hbm = jnp.concatenate(
+            [stacked, jnp.zeros((8, cfg.chunk), jnp.uint32)], axis=1)
+        kern_fn = _fwd_kernel_eval_packed
+        chunk_scratch = pltpu.VMEM((2, 8, cfg.chunk), jnp.uint32)
+    else:
+        feats_sorted, tile_start, tile_stop, num_instances, num_large = (
+            expand_and_sort_packed(pc, tx, ty, cfg)
+        )
+        nk = cfg.max_instances
+        feats_hbm = _stack_feats(feats_sorted, nk, cfg.chunk)
+        kern_fn = _fwd_kernel_eval
+        chunk_scratch = pltpu.VMEM((2, NFEAT, cfg.chunk), jnp.float32)
 
     # tiles per grid step: largest of 8/4/2 dividing the tile-grid width
     # (grid rows stay aligned so each step's SUP tiles are horizontally
@@ -677,10 +871,10 @@ def binned_blend_eval(feats, aux, bg, static):
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     scratch = [
-        pltpu.VMEM((2, NFEAT, cfg.chunk), jnp.float32),
+        chunk_scratch,
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    kern = functools.partial(_fwd_kernel_eval, cfg=cfg, tx=tx, npix=npix,
+    kern = functools.partial(kern_fn, cfg=cfg, tx=tx, npix=npix,
                              sup=sup)
     out_shapes = (jax.ShapeDtypeStruct((nt, 3, npix), jnp.float32),)
     out_specs = (pl.BlockSpec((sup, 3, npix), lambda i, *_: (i, 0, 0)),)

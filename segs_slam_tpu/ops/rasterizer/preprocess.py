@@ -56,6 +56,16 @@ class RasterConfig:
     # all footprints > ksmall and nlarge covers all > kmid.
     kmid: int = 0
     nmid: int = 0
+    # Per-anchor K-axis pre-compaction (eval path only; 0 = off): with
+    # kgroup = the model's n_offsets and kanchor < kgroup, each anchor's
+    # kgroup gaussians are priority-sorted along the (tiny) K axis — a
+    # vectorized sorting network over [cap, K] — and only the kanchor
+    # most-opaque survive into the global compaction sort, shrinking the
+    # dominant sort's input rows by kanchor/kgroup. Lossless whenever no
+    # anchor has more than kanchor alive (opacity > 0) offsets; the r4
+    # 65k-map histogram measured 18 of 45k visible anchors above 6 of 10.
+    kanchor: int = 0
+    kgroup: int = 0
     # Use the packed (f16-pair payload) binning sorts on the TRAINING path
     # too (binning.py packed section): ~2x less sorted bandwidth on the two
     # dominant sorts in exchange for f16 rounding of the blend features
@@ -83,6 +93,8 @@ class RasterConfig:
             raise ValueError("kmid > 0 requires nmid > 0")
         if self.ksmall and not self.nlarge:
             raise ValueError("ksmall > 0 requires nlarge > 0")
+        if self.kanchor and (not self.kgroup or self.kanchor >= self.kgroup):
+            raise ValueError("kanchor requires 0 < kanchor < kgroup")
 
     def grid(self, width: int, height: int) -> tuple[int, int]:
         tx = (width + self.tile - 1) // self.tile

@@ -82,6 +82,12 @@ def main(argv=None):
                    help="world gravity vector the accelerometer measures "
                         "against (non-default exercises the tracker's "
                         "online gravity initializer)")
+    p.add_argument("--photometric", action="store_true",
+                   help="per-frame exposure / white-balance variation "
+                        "(smooth along the trajectory, so the reference's "
+                        "pose->appearance MLP can model it; reference: "
+                        "src/gaussian_renderer.cpp:256-270) — makes the "
+                        "appearance-embedding ablation measurable")
     p.add_argument("--cam-fps", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -148,6 +154,16 @@ def main(argv=None):
             jnp.asarray(kf.full_proj_transform),
         )
         rgb = np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
+        if args.photometric:
+            # smooth exposure + white-balance drive along the trajectory
+            # (auto-exposure/AWB analogue; learnable from pose7)
+            exposure = 1.0 + 0.18 * np.sin(2 * np.pi * i / 70.0)
+            wb = np.array([
+                1.0 + 0.06 * np.sin(2 * np.pi * i / 45.0 + 0.7),
+                1.0,
+                1.0 - 0.06 * np.sin(2 * np.pi * i / 45.0 + 0.2),
+            ])
+            rgb = np.clip(rgb * exposure * wb[None, None, :], 0, 1)
         Image.fromarray((rgb * 255).astype(np.uint8)).save(
             res / f"frame{i:06d}.jpg", quality=95
         )

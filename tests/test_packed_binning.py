@@ -309,3 +309,64 @@ def test_packed_three_tier_matches_unpacked():
     assert ref.max() > 0.0
     np.testing.assert_allclose(np.asarray(tiered), ref, atol=2e-2)
     assert np.abs(np.asarray(tiered) - ref).mean() < 2e-3
+
+
+def test_kanchor_precompaction_lossless_when_under_cap():
+    """Per-anchor K-axis pre-compaction (RasterConfig.kanchor): when no
+    anchor has more than kanchor alive offsets, the surviving compact set is
+    identical to the unrestricted path (the K-sort only reorders within an
+    anchor and drops dead slots)."""
+    from segs_slam_tpu.ops.rasterizer.binning import compact_gaussians_packed
+
+    rng = np.random.default_rng(7)
+    n_anchor, kg = 48, 4
+    n = n_anchor * kg
+    feats = tuple(
+        jnp.asarray(rng.uniform(lo, hi, n).astype(np.float32))
+        for lo, hi in [(0, 600), (0, 400), (0.01, 1), (-0.5, 0.5),
+                       (0.01, 1), (0.05, 1), (0, 1), (0, 1), (0, 1)]
+    )
+    # at most 2 alive offsets per anchor
+    alive = np.zeros((n_anchor, kg), bool)
+    for a in range(n_anchor):
+        k = rng.integers(0, 3)
+        alive[a, rng.choice(kg, k, replace=False)] = True
+    aux = {
+        "rect_min_x": jnp.asarray(rng.integers(0, 30, n, dtype=np.int32)),
+        "rect_min_y": jnp.asarray(rng.integers(0, 20, n, dtype=np.int32)),
+        "rect_w": jnp.asarray(rng.integers(1, 5, n, dtype=np.int32)),
+        "touched": jnp.asarray(rng.integers(1, 8, n, dtype=np.int32)),
+        "depth": jnp.asarray(rng.uniform(0.5, 20, n).astype(np.float32)),
+        "alive": jnp.asarray(alive.reshape(-1)),
+    }
+    rc0 = RasterConfig(tile=16, compact=128, kmax=8, chunk=64)
+    rc1 = RasterConfig(tile=16, compact=128, kmax=8, chunk=64,
+                       kanchor=2, kgroup=kg)
+    pc0 = compact_gaussians_packed(feats, aux, rc0)
+    pc1 = compact_gaussians_packed(feats, aux, rc1)
+    assert int(pc0.num_valid) == int(pc1.num_valid) == int(alive.sum())
+
+    def rows(pc):
+        m = np.asarray(pc.valid)
+        cols = [np.asarray(c)[m] for c in
+                (pc.p_xy, pc.p_cab, pc.p_cco, pc.p_rg, pc.p_b, pc.dmeta)]
+        return set(zip(*[c.tolist() for c in cols]))
+
+    assert rows(pc0) == rows(pc1)
+
+
+def test_kanchor_render_close_under_overflow():
+    """With kanchor below some anchors' alive counts the render must stay a
+    close approximation (only the faintest per-anchor offsets drop)."""
+    mc, anchors, decoders, cam_in, w, h = _scene(seed=11, n=48)
+    bg = jnp.zeros(3)
+    rc0 = RasterConfig(tile=16, compact=256, kmax=8, chunk=64)
+    rc1 = RasterConfig(tile=16, compact=256, kmax=8, chunk=64,
+                       kanchor=3, kgroup=mc.n_offsets)
+    ref = ChainedEvalRenderer(mc, rc0, w, h, bg, interpret=True)(
+        anchors, decoders, cam_in)
+    kan = ChainedEvalRenderer(mc, rc1, w, h, bg, interpret=True)(
+        anchors, decoders, cam_in)
+    ref, kan = np.asarray(ref), np.asarray(kan)
+    assert ref.max() > 0.0
+    assert np.abs(kan - ref).mean() < 2e-2
