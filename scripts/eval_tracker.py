@@ -50,6 +50,8 @@ def main():
     p.add_argument("--cx", type=float, default=320.0)
     p.add_argument("--cy", type=float, default=240.0)
     p.add_argument("--depth-scale", type=float, default=6553.5)
+    p.add_argument("--no-imu", action="store_true",
+                   help="ignore <path>/imu.txt (pure-vision ablation)")
     p.add_argument("--per-frame", action="store_true",
                    help="print the per-frame error profile (drift vs noise)")
     args = p.parse_args()
@@ -79,7 +81,7 @@ def main():
     imu = None
     from pathlib import Path
     imu_path = Path(args.path) / "imu.txt"
-    if imu_path.exists():
+    if imu_path.exists() and not args.no_imu:
         from segs_slam_tpu.utils.make_imu import load_imu_txt
         ts_imu, gy, ac = load_imu_txt(imu_path)
         imu = [ts_imu, gy, ac, 0]
@@ -154,6 +156,24 @@ def main():
           + " / ".join(f"{rpe(s) * 1000:.1f} mm" for s in (8, 16, 40)))
     print(f"ATE online (all frames): {ate_online['ate_rmse']:.4f} m"
           f"{' (scale-corrected)' if args.mono else ''}")
+    if args.mono:
+        # metric-scale discipline: Umeyama scale 1.0 means the trajectory is
+        # already metric WITHOUT post-hoc correction (the mono-inertial
+        # ScaleRefinement contract — reference: ORB-SLAM3
+        # LocalMapping.cc:1296-1305); pure mono reports the arbitrary
+        # bootstrap scale instead
+        print(f"  Umeyama scale (online): {ate_online['scale']:.4f}"
+              f"  (final: {ate_final['scale']:.4f})")
+        raw = ate_rmse(est, gt, correct_scale=False)
+        print(f"  ATE online WITHOUT scale correction: "
+              f"{raw['ate_rmse']:.4f} m")
+    if imu is not None:
+        bias, grav, state = tracker.imu_init_state()
+        ab = tracker.imu_accel_bias()
+        print(f"  IMU state={state} gyro bias=({bias[0]:+.4f} {bias[1]:+.4f}"
+              f" {bias[2]:+.4f}) accel bias=({ab[0]:+.3f} {ab[1]:+.3f}"
+              f" {ab[2]:+.3f}) gravity=({grav[0]:+.2f} {grav[1]:+.2f}"
+              f" {grav[2]:+.2f})")
     print(f"ATE final trajectory ({len(ids)} kfs): "
           f"{ate_final['ate_rmse']:.4f} m")
 

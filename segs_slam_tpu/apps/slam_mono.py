@@ -43,7 +43,7 @@ from segs_slam_tpu.slam.protocol import (
 )
 from segs_slam_tpu.train.config import OptimizationConfig
 from segs_slam_tpu.train.trainer import Trainer
-from segs_slam_tpu.apps.common import add_common_args, resolve_configs
+from segs_slam_tpu.apps.common import add_common_args, resolve_configs, maybe_start_live_viewer
 from segs_slam_tpu.apps.slam_rgbd import DATASET_DEFAULTS
 
 
@@ -57,7 +57,7 @@ def quat_to_R(q):
 
 
 def run_mono_producer(frames, camera, queue, tracking_times, stop_event,
-                      fps=0.0):
+                      fps=0.0, imu=None, data_fps=30.0):
     """Tracking thread: mono track + keyframe ops with keypoint payloads."""
     from segs_slam_tpu.native import NativeTracker
 
@@ -89,11 +89,37 @@ def run_mono_producer(frames, camera, queue, tracking_times, stop_event,
         rgb = fr.load_rgb()
         gray = (rgb.mean(axis=2) * 255).astype(np.uint8)
         fed_frames.append(i)
+        if imu is not None:
+            # mono-inertial: the tracker preintegrates these into its motion
+            # prior AND the online scale/gravity initialization
+            imu_times, imu_gyro, imu_accel, imu_cursor = imu
+            t_frame = i / data_fps
+            dt_s = (imu_times[1] - imu_times[0]) if len(imu_times) > 1 else 0.0
+            while (imu_cursor[0] < len(imu_times)
+                   and imu_times[imu_cursor[0]] < t_frame - 1e-9):
+                k = imu_cursor[0]
+                tracker.feed_imu(dt_s, imu_gyro[k], imu_accel[k])
+                imu_cursor[0] += 1
         t0 = time.perf_counter()
         status, pose7, n_inl = tracker.track_mono(gray)
         tracking_times.append(time.perf_counter() - t0)
         quat, trans = pose7[3:7], pose7[0:3]
         est_rows.append((fr.timestamp, quat.copy(), trans.copy()))
+        # mono-inertial metric scale refinement (the tracker already rescaled
+        # its internal map; forward the factor + the rescaled trajectory so
+        # the gaussian map and cached points follow — reference:
+        # ORB-SLAM3/src/LocalMapping.cc:1296-1305 pushing ScaleRefinement)
+        s_imu = tracker.poll_scale() if imu is not None else 0.0
+        if s_imu:
+            _, tr_fnos, tr_poses = tracker.trajectory()
+            sop = MappingOperation(kind=OperationKind.SCALE_REFINEMENT)
+            sop.scale = s_imu
+            sop.transform = None
+            sop.pose_updates = _pose_updates(tr_fnos, tr_poses)
+            queue.push(sop)
+            drift.rebase(s_imu)
+            print(f"[mono] IMU scale refinement at frame {i}: s={s_imu:.4f}",
+                  flush=True)
         if status != 1:
             continue
         kp = tracker.keyframe_points()
@@ -157,6 +183,8 @@ def main(argv=None):
     add_common_args(p)
     p.add_argument("--fps", type=float, default=0.0)
     p.add_argument("--min-init-kfs", type=int, default=5)
+    p.add_argument("--no-imu", action="store_true",
+                   help="ignore <path>/imu.txt (pure-mono ablation)")
     p.add_argument("--fx", type=float, default=0)
     p.add_argument("--fy", type=float, default=0)
     p.add_argument("--cx", type=float, default=-1)
@@ -200,15 +228,29 @@ def main(argv=None):
     trainer.scene.add_camera(cam)
     queue = MappingQueue()
     mapper = Mapper(queue, trainer, cam, mpc)
+    maybe_start_live_viewer(args, trainer)
 
     tracking_times: list[float] = []
     stop_event = threading.Event()
     est_rows_box: list = []
 
+    # optional inertial stream: <path>/imu.txt rows `t gx gy gz ax ay az`
+    # (written by utils/make_rgbd_dataset --imu). Mono-inertial: the tracker
+    # preintegrates for motion priors AND online metric-scale refinement
+    # (reference: ORB-SLAM3/src/LocalMapping.cc:1296-1305 ScaleRefinement).
+    imu = None
+    imu_path = Path(args.path) / "imu.txt"
+    if imu_path.exists() and not args.no_imu:
+        from segs_slam_tpu.utils.make_imu import load_imu_txt
+
+        ts_imu, gy, ac = load_imu_txt(imu_path)
+        imu = (ts_imu, gy, ac, [0])
+        print(f"IMU stream: {len(ts_imu)} samples from {imu_path}")
+
     def producer():
         est_rows_box.extend(
             run_mono_producer(frames, cam, queue, tracking_times, stop_event,
-                              fps=args.fps)
+                              fps=args.fps, imu=imu)
         )
         mapper.signal_stop()
 

@@ -129,6 +129,11 @@ def _load():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
     ]
+    lib.sg_tracker_imu_accel_bias.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.sg_tracker_poll_scale.restype = ctypes.c_double
+    lib.sg_tracker_poll_scale.argtypes = [ctypes.c_void_p]
     lib.sg_tracker_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -341,6 +346,20 @@ class NativeTracker:
         s = ctypes.c_int()
         self._lib.sg_tracker_imu_init_state(self._h, b, g, ctypes.byref(s))
         return list(b), list(g), s.value
+
+    def imu_accel_bias(self):
+        """Current accel-bias estimate (zeros until the joint [gravity;
+        accel-bias] refinement commits; tracker.cpp ba_N solve)."""
+        b = (ctypes.c_double * 3)()
+        self._lib.sg_tracker_imu_accel_bias(self._h, b)
+        return list(b)
+
+    def poll_scale(self) -> float:
+        """Mono-inertial scale refinement factor, once (0.0 = none pending).
+        The internal map was already rescaled by it; the caller forwards a
+        SCALE_REFINEMENT MappingOperation so the gaussian map follows
+        (reference: ORB-SLAM3/src/LocalMapping.cc:1296-1305)."""
+        return float(self._lib.sg_tracker_poll_scale(self._h))
 
     def map_info(self):
         """Atlas state: (active_map, maps_created, merged_into_or_-1).

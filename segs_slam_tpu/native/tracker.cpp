@@ -226,6 +226,34 @@ struct Tracker {
   cv::Mat v_w_prev = cv::Mat::zeros(3, 1, CV_64F);
   bool have_v_w_prev = false;
 
+  // --- accel-bias + gravity joint refinement (reference: ORB-SLAM3
+  // LocalMapping.cc InitializeIMU / InertialOptimization estimate an accel
+  // bias alongside gravity; here the closed-form least-squares core). The
+  // velocity-delta residual with a remaining accel bias db obeys
+  //   r0 := v_new - v_prev - R_wb_prev dv_imu = g dt - R_wb_prev (sum R dt) db
+  // so each accepted interval contributes 3 equations in the 6 unknowns
+  // [g; db]; normal equations accumulate and the solve commits in stages
+  // (like the gyro design: later residuals measure only what remains).
+  cv::Mat accel_bias = cv::Mat::zeros(3, 1, CV_64F);
+  cv::Mat imu_dRdt = cv::Mat::zeros(3, 3, CV_64F);  // sum R_body dt
+  cv::Mat ba_N = cv::Mat::zeros(6, 6, CV_64F);
+  cv::Mat ba_y = cv::Mat::zeros(6, 1, CV_64F);
+  int ba_count = 0;
+  bool joint_committed = false;  // joint solve owns gravity from then on
+
+  // --- mono-inertial scale refinement (reference: ORB-SLAM3
+  // LocalMapping.cc:1296-1305,1496-1505 pushing ScaleRefinement ops): the
+  // mono map lives at an arbitrary scale s; velocity deltas in mono units
+  // satisfy  s dv_vis = g dt + R_wb_prev dv_imu  (metric IMU), which is
+  // linear in [s; g]. When the 4x4 normal equations become well-posed the
+  // solve rescales the whole internal map to metric and surfaces the factor
+  // through sg_tracker_poll_scale for the app to push a SCALE_REFINEMENT op.
+  cv::Mat ms_N = cv::Mat::zeros(4, 4, CV_64F);
+  cv::Mat ms_y = cv::Mat::zeros(4, 1, CV_64F);
+  int ms_count = 0;
+  double pending_scale = 0.0;  // poll-once surface for the app
+  bool scale_refined = false;
+
   // diagnostic-only (SG_ABL_FORCE_GT): ground-truth pose hint for the next
   // frame; when set, the internal state adopts it after estimation so the
   // closed-loop feedback can be separated from single-step estimator bias
@@ -1838,10 +1866,16 @@ extern "C" {
 void sg_tracker_feed_imu(void* handle, double dt, const double* gyro,
                          const double* accel) {
   auto* T = static_cast<Tracker*>(handle);
-  cv::Mat a = (cv::Mat_<double>(3, 1) << accel[0], accel[1], accel[2]);
+  // accel bias (estimated online; see the joint [g; db] solve in the
+  // inertial-init block) subtracted at integration time, like the gyro bias
+  cv::Mat a = (cv::Mat_<double>(3, 1)
+               << accel[0] - T->accel_bias.at<double>(0),
+               accel[1] - T->accel_bias.at<double>(1),
+               accel[2] - T->accel_bias.at<double>(2));
   cv::Mat Ra = T->imu_dR * a;
   T->imu_dp += T->imu_dv * dt + 0.5 * Ra * dt * dt;
   T->imu_dv += Ra * dt;
+  T->imu_dRdt += T->imu_dR * dt;  // d(dv)/d(accel bias) = -sum R dt
   // gyro bias (estimated online from vision; see the inertial-init block in
   // sg_tracker_track) is subtracted at integration time, the same stage
   // ORB-SLAM3's Preintegrated applies its bias estimate
@@ -1910,6 +1944,24 @@ void sg_tracker_imu_init_state(void* handle, double* bias3, double* grav3,
   *state = T->gravity_fixed ? 2 : (T->gravity_estimated ? 1 : 0);
 }
 
+// Current accel-bias estimate (joint [g; db] refinement; zeros until the
+// first staged commit).
+void sg_tracker_imu_accel_bias(void* handle, double* ba3) {
+  auto* T = static_cast<Tracker*>(handle);
+  for (int i = 0; i < 3; ++i) ba3[i] = T->accel_bias.at<double>(i);
+}
+
+// Mono-inertial scale refinement poll: returns the metric scale factor the
+// internal map was just multiplied by, ONCE (0.0 when none pending). The
+// app forwards it as a SCALE_REFINEMENT MappingOperation (reference:
+// ORB-SLAM3/src/LocalMapping.cc:1296-1305 pushing ScaleRefinement).
+double sg_tracker_poll_scale(void* handle) {
+  auto* T = static_cast<Tracker*>(handle);
+  double s = T->pending_scale;
+  T->pending_scale = 0.0;
+  return s;
+}
+
 // Diagnostic hook (effective only with SG_ABL_FORCE_GT=1): supply the
 // ground-truth world-to-camera pose (tx ty tz qw qx qy qz) for the NEXT
 // track() call. pose_out still reports the raw estimate; internal state
@@ -1971,6 +2023,7 @@ static int track_depth_impl(Tracker* T, const cv::Mat& img,
     T->imu_dR = cv::Mat::eye(3, 3, CV_64F);
     T->imu_dv = cv::Mat::zeros(3, 1, CV_64F);
     T->imu_dp = cv::Mat::zeros(3, 1, CV_64F);
+    T->imu_dRdt = cv::Mat::zeros(3, 3, CV_64F);
     T->imu_dt_sum = 0.0;
     T->active_map = T->maps_created++;
     T->lost_streak = 0;
@@ -2494,8 +2547,60 @@ static int track_depth_impl(Tracker* T, const cv::Mat& img,
         // v_new - v_prev = R_wb_prev dv_imu + g dt (v's are interval-average
         // velocities; with uniform frame spacing the midpoint-to-midpoint
         // window matches the preintegration window)
-        T->grav_num += v_new - T->v_w_prev - T->R_cur.t() * T->imu_dv;
+        cv::Mat r0 = v_new - T->v_w_prev - T->R_cur.t() * T->imu_dv;
+        T->grav_num += r0;
         T->grav_den += dti;
+        // joint [g; db] accel-bias refinement: r0 = g dt - R_wb_prev
+        // (sum R dt) db -> 3 equations in 6 unknowns per interval
+        cv::Mat A = cv::Mat::zeros(3, 6, CV_64F);
+        cv::Mat(cv::Mat::eye(3, 3, CV_64F) * dti)
+            .copyTo(A(cv::Rect(0, 0, 3, 3)));
+        cv::Mat M = -(T->R_cur.t() * T->imu_dRdt);
+        M.copyTo(A(cv::Rect(3, 0, 3, 3)));
+        T->ba_N += A.t() * A;
+        T->ba_y += A.t() * r0;
+        T->ba_count++;
+        if (T->ba_count >= 60 && T->ba_count % 60 == 0) {
+          cv::Mat x;
+          cv::Mat N = T->ba_N + cv::Mat::eye(6, 6, CV_64F) * 1e-6;
+          if (T->gravity_fixed) {
+            // gravity known: solve only the bias block,
+            // db = Nbb^-1 (yb - Nbg g)
+            cv::Mat Nbb = N(cv::Rect(3, 3, 3, 3));
+            cv::Mat Nbg = N(cv::Rect(0, 3, 3, 3));
+            cv::Mat yb = T->ba_y.rowRange(3, 6) - Nbg * T->gravity_w;
+            cv::Mat db;
+            if (cv::solve(Nbb, yb, db, cv::DECOMP_CHOLESKY) &&
+                cv::norm(db) < 1.0) {
+              T->accel_bias += db;
+              T->joint_committed = true;
+              T->ba_N = cv::Mat::zeros(6, 6, CV_64F);
+              T->ba_y = cv::Mat::zeros(6, 1, CV_64F);
+            }
+          } else if (cv::solve(N, T->ba_y, x, cv::DECOMP_CHOLESKY)) {
+            cv::Mat g_est = x.rowRange(0, 3);
+            cv::Mat db = x.rowRange(3, 6);
+            double gn = cv::norm(g_est);
+            if (gn > 5.0 && gn < 15.0 && cv::norm(db) < 1.0) {
+              T->gravity_w = 9.81 * g_est / gn;
+              T->gravity_estimated = true;
+              T->joint_committed = true;
+              T->accel_bias += db;
+              T->ba_N = cv::Mat::zeros(6, 6, CV_64F);
+              T->ba_y = cv::Mat::zeros(6, 1, CV_64F);
+              if (getenv("SG_TRACKER_DEBUG"))
+                fprintf(stderr,
+                        "[imu-init] f=%d joint g (%.2f %.2f %.2f) "
+                        "accel bias (%.3f %.3f %.3f)\n",
+                        frame_no, T->gravity_w.at<double>(0),
+                        T->gravity_w.at<double>(1),
+                        T->gravity_w.at<double>(2),
+                        T->accel_bias.at<double>(0),
+                        T->accel_bias.at<double>(1),
+                        T->accel_bias.at<double>(2));
+            }
+          }
+        }
       }
       T->v_w_prev = v_new.clone();
       T->have_v_w_prev = true;
@@ -2508,7 +2613,8 @@ static int track_depth_impl(Tracker* T, const cv::Mat& img,
         T->bias_num = cv::Mat::zeros(3, 1, CV_64F);
         T->bias_den = 0.0;
       }
-      if (!T->gravity_fixed && T->imu_init_count >= 20 &&
+      if (!T->gravity_fixed && !T->joint_committed &&
+          T->imu_init_count >= 20 &&
           T->imu_init_count % 20 == 0 && T->grav_den > 0.1) {
         cv::Mat g_est = T->grav_num / T->grav_den;
         double gn = cv::norm(g_est);
@@ -2532,6 +2638,7 @@ static int track_depth_impl(Tracker* T, const cv::Mat& img,
     T->imu_dR = cv::Mat::eye(3, 3, CV_64F);
     T->imu_dv = cv::Mat::zeros(3, 1, CV_64F);
     T->imu_dp = cv::Mat::zeros(3, 1, CV_64F);
+    T->imu_dRdt = cv::Mat::zeros(3, 3, CV_64F);
     T->imu_dt_sum = 0.0;
     T->has_imu = false;
   }
@@ -3117,11 +3224,9 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     cv::Mat c_pred = -R_prior.t() * t_prior;  // keep predicted center
     R_prior = (T->R_cur.t() * T->imu_dR).t();
     t_prior = -R_prior * c_pred;
-    T->imu_dR = cv::Mat::eye(3, 3, CV_64F);
-    T->imu_dv = cv::Mat::zeros(3, 1, CV_64F);
-    T->imu_dp = cv::Mat::zeros(3, 1, CV_64F);
-    T->imu_dt_sum = 0.0;
-    T->has_imu = false;
+    // NOT reset here: the preintegration window must span accepted frames
+    // (the mono-inertial scale/gravity estimator below consumes it on
+    // acceptance, like the RGB-D path; a rejected frame keeps accumulating)
   }
 
   std::vector<cv::Point3f> obj;
@@ -3254,6 +3359,91 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
   T->R_vel = R * T->R_cur.t();
   T->t_vel = t - T->R_vel * T->t_cur;
   T->have_vel = true;
+  if (T->has_imu && T->imu_dt_sum > 0.0) {
+    // --- mono-inertial initialization (reference: ORB-SLAM3
+    // LocalMapping.cc:1296-1305 ScaleRefinement): gyro bias is scale-free
+    // (same residual as the RGB-D path); scale+gravity come from the
+    // velocity-delta equation  s dv_vis = g dt + R_wb_prev dv_imu,
+    // linear in [s; g]. Solved when the normal equations become well-posed;
+    // the whole internal map is then rescaled to metric and the factor is
+    // surfaced through sg_tracker_poll_scale.
+    const double dti = T->imu_dt_sum;
+    cv::Mat c_prev = -T->R_cur.t() * T->t_cur;
+    cv::Mat c_new = -R.t() * t;
+    cv::Mat v_new = (c_new - c_prev) / dti;  // mono units / s
+    {
+      cv::Mat dR_vis = T->R_cur * R.t();
+      cv::Mat rv;
+      cv::Rodrigues(cv::Mat(dR_vis.t() * T->imu_dR), rv);
+      if (cv::norm(rv) < 0.2) {
+        T->bias_num += rv;
+        T->bias_den += dti;
+      }
+      if ((T->imu_init_count == 15 || T->imu_init_count == 45 ||
+           (T->imu_init_count > 0 && T->imu_init_count % 150 == 0)) &&
+          T->bias_den > 0.1) {
+        T->gyro_bias += T->bias_num / T->bias_den;
+        T->bias_num = cv::Mat::zeros(3, 1, CV_64F);
+        T->bias_den = 0.0;
+      }
+    }
+    if (T->have_v_w_prev && !T->scale_refined) {
+      // A_k [s; g] = R_wb_prev dv_imu with A_k = [dv_vis | -dt I]
+      cv::Mat A = cv::Mat::zeros(3, 4, CV_64F);
+      cv::Mat dvv = v_new - T->v_w_prev;
+      dvv.copyTo(A(cv::Rect(0, 0, 1, 3)));
+      cv::Mat(cv::Mat::eye(3, 3, CV_64F) * -dti)
+          .copyTo(A(cv::Rect(1, 0, 3, 3)));
+      cv::Mat b = T->R_cur.t() * T->imu_dv;
+      T->ms_N += A.t() * A;
+      T->ms_y += A.t() * b;
+      T->ms_count++;
+      if (T->ms_count >= 45 && T->ms_count % 45 == 0) {
+        cv::Mat x;
+        cv::Mat N = T->ms_N + cv::Mat::eye(4, 4, CV_64F) * 1e-8;
+        if (cv::solve(N, T->ms_y, x, cv::DECOMP_CHOLESKY)) {
+          double s = x.at<double>(0);
+          cv::Mat g_est = x.rowRange(1, 4);
+          double gn = cv::norm(g_est);
+          if (s > 0.05 && s < 100.0 && gn > 7.0 && gn < 13.0) {
+            // rescale the internal map to metric: X' = s X, t' = s t
+            for (auto& mp : T->mpts) mp.X *= s;
+            for (auto& mp : T->arch) mp.X *= s;
+            for (auto& kf : T->wkfs) kf.t *= s;
+            for (auto& g : T->gkfs) {
+              g.t *= s;
+              for (auto& p : g.pts_w) p *= static_cast<float>(s);
+            }
+            T->t_cur *= s;
+            t *= s;  // the pose committed below must be metric too
+            T->t_vel *= s;
+            T->v_w_prev *= s;
+            v_new *= s;
+            T->mono_map_depth *= s;
+            T->gravity_w = 9.81 * g_est / gn;
+            T->gravity_estimated = true;
+            T->scale_refined = true;
+            T->pending_scale = s;
+            if (getenv("SG_TRACKER_DEBUG"))
+              fprintf(stderr,
+                      "[mono-imu] f=%d scale refinement s=%.4f gravity "
+                      "(%.2f %.2f %.2f)\n",
+                      frame_no, s, T->gravity_w.at<double>(0),
+                      T->gravity_w.at<double>(1), T->gravity_w.at<double>(2));
+          }
+        }
+      }
+    }
+    T->v_w_prev = v_new;
+    T->have_v_w_prev = true;
+    T->imu_init_count++;
+    T->imu_dR = cv::Mat::eye(3, 3, CV_64F);
+    T->imu_dv = cv::Mat::zeros(3, 1, CV_64F);
+    T->imu_dp = cv::Mat::zeros(3, 1, CV_64F);
+    T->imu_dRdt = cv::Mat::zeros(3, 3, CV_64F);
+    T->imu_dt_sum = 0.0;
+    T->has_imu = false;
+  }
   T->R_cur = R;
   T->t_cur = t;
   T->frames_since_kf++;

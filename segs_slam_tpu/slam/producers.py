@@ -253,6 +253,14 @@ class ScaleDriftMonitor:
             self._sent[k] = self._center(*pose_updates[k])
         return s, T
 
+    def rebase(self, s: float) -> None:
+        """The tracker rescaled its internal map by s (mono-inertial metric
+        scale refinement) and the producer already forwarded the matching
+        SCALE_REFINEMENT op; rescale the recorded centers so the deliberate
+        jump is not re-detected as drift."""
+        for k in self._sent:
+            self._sent[k] = self._sent[k] * s
+
 
 def tracker_pose_updates(fed_frames, frame_nos, poses7):
     """Map native-tracker frame ordinals to dataset frame ids (the mapper's

@@ -193,3 +193,11 @@ def test_pr_index_and_imu_init_apis():
     # every query verifies at most loop_max_candidates (12) bags — the
     # sub-linear retrieval contract (no full-registry scans)
     assert bags <= queries * 12
+
+    # round-5 inertial surfaces: accel bias starts at zero (no joint
+    # [gravity; accel-bias] commit yet) and the mono-inertial scale poll is
+    # poll-once with 0.0 = none pending (reference analogue: ORB-SLAM3
+    # LocalMapping.cc:1296-1305 ScaleRefinement ops)
+    assert tracker.imu_accel_bias() == [0.0, 0.0, 0.0]
+    assert tracker.poll_scale() == 0.0
+    assert tracker.poll_scale() == 0.0
