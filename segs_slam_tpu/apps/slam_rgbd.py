@@ -23,6 +23,7 @@ import numpy as np
 
 from segs_slam_tpu.apps.common import (
     add_common_args,
+    maybe_start_live_viewer,
     resolve_configs,
     resolve_dist_coeffs,
 )
@@ -261,6 +262,13 @@ def main(argv=None):
     p.add_argument("--pose-refine-every", type=int, default=0,
                    help="photometric keyframe-pose refinement cadence "
                         "(0 = off; try 25 with --tracker native)")
+    p.add_argument("--shutdown-pose-refine", type=int, default=0,
+                   help="rounds of shutdown pose refinement: after the "
+                        "training budget, re-estimate every keyframe pose "
+                        "against the converged map (photometric+depth LM) "
+                        "then re-fit the map (0 = off; try 3)")
+    p.add_argument("--shutdown-pose-refine-iters", type=int, default=400,
+                   help="re-fit train iterations per shutdown-refine round")
     p.add_argument("--optimize-poses", choices=["auto", "on", "off"],
                    default="auto",
                    help="in-step photometric pose optimization (per-keyframe "
@@ -335,7 +343,9 @@ def main(argv=None):
         mapper_overrides=dict(
             min_num_initial_map_kfs=args.min_init_kfs,
             pose_refine_every=args.pose_refine_every,
-            pose_refine_on_arrival=args.pose_refine_on_arrival),
+            pose_refine_on_arrival=args.pose_refine_on_arrival,
+            shutdown_pose_refine_rounds=args.shutdown_pose_refine,
+            shutdown_pose_refine_iters=args.shutdown_pose_refine_iters),
     )
     # "auto" resolves to OFF since the round-3 ablation matrix (RESULTS.md):
     # in-step joint pose optimization costs 0.6-2.7 dB of map quality (the
@@ -348,6 +358,7 @@ def main(argv=None):
     trainer.scene.add_camera(cam)
     queue = MappingQueue()
     mapper = Mapper(queue, trainer, cam, mpc)
+    maybe_start_live_viewer(args, trainer)
     mapper.debug_ckpt_at = args.debug_ckpt_at
     dist_coeffs = resolve_dist_coeffs(args, args.dataset)
     if dist_coeffs is not None:

@@ -61,6 +61,19 @@ class MapperConfig:
     min_depth: float = 1e-10
     max_depth: float = 40.0
     tail_iterations: int = 0  # light-mode tail optimization budget
+    # shutdown pose refinement (0 = off): after the training budget, run N
+    # rounds of {re-estimate EVERY keyframe pose against the now-converged
+    # map (photometric+depth LM, full resolution), then re-fit the map for
+    # `shutdown_pose_refine_iters` train iterations}. Offline, so the
+    # online-equilibrium objection to on-arrival alignment (RESULTS.md
+    # finding 4) does not apply: re-aligning all keyframes to the common
+    # consensus removes the medium-range relative inconsistency that blurs
+    # the map, and the re-fit lets the map sharpen onto the now-consistent
+    # poses. Reference slot: pose refreshes after BA,
+    # ORB-SLAM3/src/LocalMapping.cc:149-160.
+    shutdown_pose_refine_rounds: int = 0
+    shutdown_pose_refine_steps: int = 8
+    shutdown_pose_refine_iters: int = 400
 
 
 class Mapper:
@@ -251,6 +264,21 @@ class Mapper:
                 if self.producer_done and not self.queue.has_operation():
                     break
                 time.sleep(idle_sleep)
+
+        # PHASE 2.5: shutdown pose refinement (see MapperConfig)
+        if self.initialized:
+            for r in range(self.config.shutdown_pose_refine_rounds):
+                # round 0 coarse (pooled, wide basin), later rounds full-res
+                pool = 4 if r == 0 else 1
+                total = 0.0
+                for kf in list(self.trainer.scene.keyframes.values()):
+                    total += self.trainer.refine_keyframe_pose(
+                        kf, steps=self.config.shutdown_pose_refine_steps,
+                        pool=pool)
+                print(f"[mapper] shutdown pose refine round {r} (pool={pool})"
+                      f": total loss improvement {total:.4f}", flush=True)
+                for _ in range(self.config.shutdown_pose_refine_iters):
+                    self.trainer.train_iteration()
 
         # PHASE 3: tail optimization
         for _ in range(self.config.tail_iterations):

@@ -341,22 +341,25 @@ class Trainer:
                     "tan_fovy": tanfy,
                 }
 
-            def _pool(img):
-                # 4x4 average pooling widens the photometric basin
+            def _pool(img, p):
+                # pxp average pooling widens the photometric basin (p=1: none)
+                if p <= 1:
+                    return img
                 c, hh, ww = img.shape
-                h4, w4 = (hh // 4) * 4, (ww // 4) * 4
-                return img[:, :h4, :w4].reshape(
-                    c, h4 // 4, 4, w4 // 4, 4
+                hp, wp = (hh // p) * p, (ww // p) * p
+                return img[:, :hp, :wp].reshape(
+                    c, hp // p, p, wp // p, p
                 ).mean(axis=(2, 4))
 
             def _loss(delta, anchors, decoders, wvt0, projmat, tanfx, tanfy,
-                      pose7, gt, gt_depth, use_depth):
+                      pose7, gt, gt_depth, use_depth, pool):
                 cam = _delta_cam(delta, wvt0, projmat, tanfx, tanfy, pose7)
                 out = render(anchors, decoders, cam, width, height, bg, mc,
                              rc, interpret=self.interpret)
                 img = out.image
                 mask = jnp.any(gt != 0.0, axis=0, keepdims=True)
-                l = jnp.abs(_pool(img * mask) - _pool(gt * mask)).mean()
+                l = jnp.abs(_pool(img * mask, pool)
+                            - _pool(gt * mask, pool)).mean()
                 if use_depth:
                     # sensor-depth residual (SplaTAM-style RGB-D alignment):
                     # constrains the view-axis translation the photometric
@@ -374,9 +377,9 @@ class Trainer:
                 return l
 
             def _refine(anchors, decoders, wvt0, projmat, tanfx, tanfy,
-                        pose7, gt, gt_depth, lr, steps, use_depth):
+                        pose7, gt, gt_depth, lr, steps, use_depth, pool):
                 args = (anchors, decoders, wvt0, projmat, tanfx, tanfy,
-                        pose7, gt, gt_depth, use_depth)
+                        pose7, gt, gt_depth, use_depth, pool)
                 vg = jax.value_and_grad(_loss)
 
                 def body(i, carry):
@@ -408,14 +411,16 @@ class Trainer:
                 return jnp.where(l1 < l0, delta, d0), l0, l1
 
             self._pose_refine_jit = jax.jit(
-                _refine, static_argnames=("steps", "use_depth"))
+                _refine, static_argnames=("steps", "use_depth", "pool"))
         return self._pose_refine_jit
 
     def refine_keyframe_pose(self, kf: Keyframe, steps: int = 5,
-                             lr: float = 4e-3) -> float:
+                             lr: float = 4e-3, pool: int = 4) -> float:
         """Refine one keyframe's pose photometrically (+ sensor-depth
         residual when the keyframe carries depth); updates the keyframe in
-        place and returns the loss improvement (>= 0)."""
+        place and returns the loss improvement (>= 0). pool=4 widens the
+        photometric basin for online use; pool=1 is the full-resolution
+        variant for shutdown refinement against a converged map."""
         cam, gt = self._kf_inputs(kf)
         use_depth = kf.depth is not None
         gt_depth = jnp.asarray(
@@ -425,7 +430,7 @@ class Trainer:
             self.state.anchors, self.state.decoders,
             cam["world_view_transform"], jnp.asarray(kf.projection),
             cam["tan_fovx"], cam["tan_fovy"], cam["pose7"], gt, gt_depth,
-            lr, steps, use_depth,
+            lr, steps, use_depth, pool,
         )
         delta = np.asarray(delta, np.float64)
         if not np.any(delta):
