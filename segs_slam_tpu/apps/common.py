@@ -70,6 +70,19 @@ def add_common_args(p, default_compact=2**16, default_kmax=8):
                    help="override an OptimizationConfig field (repeatable), "
                         "e.g. --opt-set pose_prior=0.005; applied after the "
                         "YAML ingest")
+    p.add_argument("--viewer-port", type=int, default=0,
+                   help="serve the LIVE free-view web viewer from the "
+                        "running mapper on this port (0 = off) — the "
+                        "renderFromPose equivalent, reference: "
+                        "src/gaussian_mapper.cpp:2484-2538")
+
+
+def maybe_start_live_viewer(args, trainer):
+    """Start the live web viewer thread when --viewer-port is set."""
+    if getattr(args, "viewer_port", 0):
+        from segs_slam_tpu.apps.viewer import serve_live
+
+        serve_live(trainer, port=args.viewer_port)
 
 
 def resolve_dist_coeffs(args, dataset: str):

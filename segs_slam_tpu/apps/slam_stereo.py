@@ -39,7 +39,7 @@ from segs_slam_tpu.slam.protocol import (
 )
 from segs_slam_tpu.train.config import OptimizationConfig
 from segs_slam_tpu.train.trainer import Trainer
-from segs_slam_tpu.apps.common import add_common_args, resolve_configs
+from segs_slam_tpu.apps.common import add_common_args, resolve_configs, maybe_start_live_viewer
 
 # EuRoC MAV cam0/cam1 calibration (mav0/cam*/sensor.yaml; the same constants
 # the reference ships in its EuRoC ORB-SLAM3 yaml).
@@ -245,6 +245,7 @@ def main(argv=None):
     trainer.scene.add_camera(cam)
     queue = MappingQueue()
     mapper = Mapper(queue, trainer, cam, mpc)
+    maybe_start_live_viewer(args, trainer)
 
     tracking_times: list[float] = []
     stop_event = threading.Event()

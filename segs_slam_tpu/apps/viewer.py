@@ -5,8 +5,17 @@ free-view gaussian renders via GaussianMapper::renderFromPose (reference:
 viewer/imgui_viewer.cpp, src/gaussian_mapper.cpp:2484-2538); it is flagged
 "under development" and disabled in the shipped examples. Headless TPU
 hosts have no GL stack, so the equivalent here is a self-contained web
-viewer: a stdlib HTTP server renders JPEG frames on demand from a saved
-checkpoint, and the browser page provides WASD + mouse-drag fly controls.
+viewer: a stdlib HTTP server renders JPEG frames on demand, and the
+browser page provides WASD + mouse-drag fly controls.
+
+Two modes:
+  * checkpoint mode (this module's CLI): render a saved orbax checkpoint.
+  * LIVE mode (`serve_live`, wired via the SLAM apps' --viewer-port flag):
+    render from the RUNNING mapper's trainer state between train
+    dispatches — the renderFromPose equivalent (the reference renders from
+    the live GaussianMapper, src/gaussian_mapper.cpp:2484-2538). Each
+    /render request snapshots `trainer.state` (an atomic pytree-reference
+    read), so the flight view sharpens as mapping progresses.
 
 Usage:
   python -m segs_slam_tpu.apps.viewer --ckpt <orbax dir> [--port 8600] \
@@ -147,21 +156,12 @@ def build_renderer(args):
     return render_pose, start_pos, (w, h)
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--ckpt", required=True)
-    p.add_argument("--port", type=int, default=8600)
-    p.add_argument("--size", type=int, default=480)
-    p.add_argument("--capacity", type=int, default=2**14)
-    p.add_argument("--compact", type=int, default=2**15)
-    p.add_argument("--kmax", type=int, default=8)
-    p.add_argument("--ksmall", type=int, default=4)
-    p.add_argument("--nlarge", type=int, default=2**13)
-    args = p.parse_args(argv)
-
+def make_server(render_pose, start_pos_fn, w, h, port):
+    """HTTP server over a render_pose(pos, yaw, pitch) -> HxWx3 u8 callable.
+    start_pos_fn is called per /state request (the live map's centroid
+    moves as mapping grows)."""
     from PIL import Image
 
-    render_pose, start_pos, (w, h) = build_renderer(args)
     page = PAGE.replace("__W__", str(w)).replace("__H__", str(h))
 
     class Handler(BaseHTTPRequestHandler):
@@ -181,7 +181,7 @@ def main(argv=None):
                 self._send(200, page.encode(), "text/html")
             elif u.path == "/state":
                 self._send(200, json.dumps(
-                    {"pos": start_pos, "yaw": 0.0}
+                    {"pos": start_pos_fn(), "yaw": 0.0}
                 ).encode(), "application/json")
             elif u.path == "/render":
                 q = parse_qs(u.query)
@@ -197,7 +197,102 @@ def main(argv=None):
             else:
                 self._send(404, b"not found", "text/plain")
 
-    srv = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+    return ThreadingHTTPServer(("0.0.0.0", port), Handler)
+
+
+def _pose_to_cam_inputs(pos, yaw, pitch, cam):
+    """Fly-control pose -> Keyframe render inputs."""
+    import jax.numpy as jnp
+
+    from segs_slam_tpu.core import se3
+    from segs_slam_tpu.core.keyframe import Keyframe
+
+    fw = np.array([
+        np.sin(yaw) * np.cos(pitch), np.sin(pitch),
+        np.cos(yaw) * np.cos(pitch),
+    ])
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up, fw)
+    right /= np.linalg.norm(right)
+    up2 = np.cross(fw, right)
+    R = np.stack([right, up2, fw], axis=0)  # world-to-camera
+    q = np.asarray(se3.rotmat_to_quat(jnp.asarray(R, jnp.float32)))
+    t = -R @ np.asarray(pos)
+    kf = Keyframe(kf_id=0, camera=cam, quat=q, trans=t)
+    return {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
+
+
+def serve_live(trainer, port=8600, size=480):
+    """LIVE viewer: fly around the map WHILE the mapper builds it — the
+    renderFromPose equivalent (reference: src/gaussian_mapper.cpp:2484-2538
+    renders from the running mapper under its render mutex; here each
+    request snapshots trainer.state and the JAX runtime interleaves the
+    render dispatch between train steps).
+
+    Returns the server thread (daemon). Renders mid-gray until the trainer
+    has initialized. Uses the trainer's own model/raster config so the
+    render matches what the mapper optimizes.
+    """
+    import jax.numpy as jnp
+
+    from segs_slam_tpu.core.camera import Camera
+    from segs_slam_tpu.models.renderer import EvalRenderer
+
+    w = h = size
+    cam = Camera(camera_id=0, width=w, height=h, fx=0.9 * w, fy=0.9 * w,
+                 cx=w / 2, cy=h / 2)
+    chain_box = {}
+    lock = threading.Lock()
+
+    def render_pose(pos, yaw, pitch):
+        st = trainer.state  # atomic snapshot of the live pytree
+        if st is None:
+            return np.full((h, w, 3), 64, np.uint8)
+        if "chain" not in chain_box:
+            # lazy: the first request pays the eval-chain compile (the
+            # persistent cache makes reruns instant)
+            chain_box["chain"] = EvalRenderer(
+                trainer.model_config, trainer.raster_config, w, h,
+                jnp.zeros(3))
+        cam_in = _pose_to_cam_inputs(pos, yaw, pitch, cam)
+        with lock:  # one viewer render in flight at a time
+            img = np.asarray(chain_box["chain"](st.anchors, st.decoders,
+                                                cam_in))
+        return (np.clip(np.transpose(img, (1, 2, 0)), 0, 1) * 255).astype(
+            np.uint8)
+
+    def start_pos():
+        st = trainer.state
+        if st is None:
+            return [0.0, 0.0, -2.0]
+        active = np.asarray(st.anchors.active)
+        if not active.any():
+            return [0.0, 0.0, -2.0]
+        center = np.asarray(st.anchors.anchor)[active].mean(axis=0)
+        return (center + np.array([0.0, 0.0, -1.5])).tolist()
+
+    srv = make_server(render_pose, start_pos, w, h, port)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    print(f"[viewer] LIVE viewer on http://localhost:{port}/ ({w}x{h})",
+          flush=True)
+    return th
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--port", type=int, default=8600)
+    p.add_argument("--size", type=int, default=480)
+    p.add_argument("--capacity", type=int, default=2**14)
+    p.add_argument("--compact", type=int, default=2**15)
+    p.add_argument("--kmax", type=int, default=8)
+    p.add_argument("--ksmall", type=int, default=4)
+    p.add_argument("--nlarge", type=int, default=2**13)
+    args = p.parse_args(argv)
+
+    render_pose, start_pos, (w, h) = build_renderer(args)
+    srv = make_server(render_pose, lambda: start_pos, w, h, args.port)
     print(f"viewer on http://localhost:{args.port}/ "
           f"({w}x{h}, ckpt {args.ckpt})")
     srv.serve_forever()
