@@ -34,6 +34,7 @@ W, H = 640, 480
 CAP = 2**16
 B = 10
 mc = ModelConfig(capacity=CAP)
+B_OFFSETS = mc.n_offsets
 cam = Camera(camera_id=0, width=W, height=H, fx=500.0, fy=500.0,
              cx=W / 2, cy=H / 2)
 kf = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0], trans=[0, 0, 0])
@@ -49,10 +50,24 @@ CFGS = {
     "2tier ks4 nl8k (current)": dict(ksmall=4, nlarge=2**13),
     "3tier ks2 km8 nm16k nl4k": dict(ksmall=2, kmid=8, nmid=2**14,
                                      nlarge=2**12),
-    "3tier ks3 km8 nm16k nl8k": dict(ksmall=3, kmid=8, nmid=2**14,
-                                     nlarge=2**13),
-    "3tier ks2 km6 nm24k nl8k": dict(ksmall=2, kmid=6, nmid=3 * 2**13,
-                                     nlarge=2**13),
+    "3tier + seldirect": dict(ksmall=2, kmid=8, nmid=2**14, nlarge=2**12,
+                              sel_direct=True),
+    "3tier + seldirect + kanchor6": dict(ksmall=2, kmid=8, nmid=2**14,
+                                         nlarge=2**12, sel_direct=True,
+                                         kanchor=6, kgroup=B_OFFSETS),
+    "3tier + seldirect + kanchor4": dict(ksmall=2, kmid=8, nmid=2**14,
+                                         nlarge=2**12, sel_direct=True,
+                                         kanchor=4, kgroup=B_OFFSETS),
+    "2tier + seldirect": dict(ksmall=4, nlarge=2**13, sel_direct=True),
+    "3tier + seldirect + pack8": dict(ksmall=2, kmid=8, nmid=2**14,
+                                      nlarge=2**12, sel_direct=True,
+                                      pack8=True),
+    "3tier + sd + pack8 + kanchor6": dict(ksmall=2, kmid=8, nmid=2**14,
+                                          nlarge=2**12, sel_direct=True,
+                                          pack8=True, kanchor=6,
+                                          kgroup=B_OFFSETS),
+    "2tier + seldirect + pack8": dict(ksmall=4, nlarge=2**13,
+                                      sel_direct=True, pack8=True),
 }
 
 ref_img = None

@@ -298,13 +298,71 @@ class PackedCompact(NamedTuple):
     orig_id: jnp.ndarray | None = None  # (compact,) i32 — training only
 
 
+def _pack_eval_cols(feats, aux, config: RasterConfig):
+    """Packed per-gaussian columns at the raw [N] rows. Returns
+    (payload_cols, dmeta, alive_ok, opac_q, num_valid) — the shared
+    front of both the opacity-priority compaction and the direct-selection
+    path (dead rows carry dmeta with touched forced to 0 so they can never
+    expand wherever they land).
+
+    Default layout: 5 f16-pair payload columns (p_xy, p_cab, p_cco, p_rg,
+    p_b|rmx|rmy). With config.pack8 (sel_direct eval only): 4 columns —
+      c0 = xr f16 | yr f16       (rect-relative mean2d, as before)
+      c1 = ca f16 | cb f16
+      c2 = cc f16 | op11 << 16 | rmy5 << 27
+      c3 = r8 | g8 << 8 | b8 << 16 | rmx6 << 24
+    (dmeta unchanged: dkey21 | touched5 | rw6 — full depth-key precision.)
+    """
+    assert config.kmax <= 31, "touched packs into dmeta bits 21..25"
+    alive = aux["alive"]
+    x, y, ca, cb, cc, op, r, g, b = feats
+    opac_q = (65535.0 * (1.0 - jnp.clip(op, 0.0, 1.0))).astype(jnp.uint32)
+    alive_ok = alive & jnp.isfinite(op)
+    rmx = jnp.clip(aux["rect_min_x"], 0, 255).astype(jnp.uint32)
+    rmy = jnp.clip(aux["rect_min_y"], 0, 255).astype(jnp.uint32)
+    rw = jnp.clip(aux["rect_w"], 0, 63).astype(jnp.uint32)
+    touched = jnp.where(alive_ok,
+                        jnp.clip(aux["touched"], 0, config.kmax),
+                        0).astype(jnp.uint32)
+    # depth of dead slots may be garbage/negative: force a positive value so
+    # the 21-bit key stays monotonic-safe (dead slots never expand anyway)
+    depth_safe = jnp.where(alive_ok, aux["depth"], 1.0)
+    dmeta = (_depth_key(depth_safe) | (touched << DEPTH_KEY_BITS)
+             | (rw << (DEPTH_KEY_BITS + 5)))
+    ts = 16.0
+    p_xy = _pack2f16(x - rmx.astype(jnp.float32) * ts,
+                     y - rmy.astype(jnp.float32) * ts)
+    if config.pack8:
+        def q(v, levels):
+            return jnp.clip(jnp.round(jnp.clip(v, 0.0, 1.0) * levels),
+                            0, levels).astype(jnp.uint32)
+
+        cco = lax.bitcast_convert_type(cc.astype(jnp.float16),
+                                       jnp.uint16).astype(jnp.uint32)
+        pays = (
+            p_xy,
+            _pack2f16(ca, cb),
+            cco | (q(op, 2047) << 16) | (jnp.minimum(rmy, 31) << 27),
+            q(r, 255) | (q(g, 255) << 8) | (q(b, 255) << 16) | (rmx << 24),
+        )
+    else:
+        pays = (
+            p_xy,
+            _pack2f16(ca, cb),
+            _pack2f16(cc, op),
+            _pack2f16(r, g),
+            _pack2f16(b, jnp.zeros_like(b)) | (rmx << 16) | (rmy << 24),
+        )
+    num_valid = jnp.sum(alive_ok.astype(jnp.int32))
+    return pays, dmeta, alive_ok, opac_q, num_valid
+
+
 def compact_gaussians_packed(feats, aux, config: RasterConfig,
                              with_orig: bool = False):
     """Opacity-priority compaction with packed payloads (7 sort operands vs
     16 in compact_gaussians). Same key semantics. with_orig adds the
     original-index column the training backward scatters through (8
     operands)."""
-    assert config.kmax <= 31, "touched packs into dmeta bits 21..25"
     alive = aux["alive"]
     n = alive.shape[0]
     nc = config.compact
@@ -314,31 +372,10 @@ def compact_gaussians_packed(feats, aux, config: RasterConfig,
         aux = {k: jnp.pad(v, (0, pad)) for k, v in aux.items()}
         alive = aux["alive"]
         n = nc
-    x, y, ca, cb, cc, op, r, g, b = feats
-    opac_q = (65535.0 * (1.0 - jnp.clip(op, 0.0, 1.0))).astype(jnp.uint32)
-    key = jnp.where(alive & jnp.isfinite(op), opac_q, jnp.uint32(1 << 24))
-    rmx = jnp.clip(aux["rect_min_x"], 0, 255).astype(jnp.uint32)
-    rmy = jnp.clip(aux["rect_min_y"], 0, 255).astype(jnp.uint32)
-    rw = jnp.clip(aux["rect_w"], 0, 63).astype(jnp.uint32)
-    touched = jnp.clip(aux["touched"], 0, config.kmax).astype(jnp.uint32)
-    # depth of dead slots may be garbage/negative: force a positive value so
-    # the 21-bit key stays monotonic-safe (dead slots never expand anyway)
-    depth_safe = jnp.where(alive, aux["depth"], 1.0)
-    dmeta = (_depth_key(depth_safe) | (touched << DEPTH_KEY_BITS)
-             | (rw << (DEPTH_KEY_BITS + 5)))
-    ts = 16.0
-    p_xy = _pack2f16(x - rmx.astype(jnp.float32) * ts,
-                     y - rmy.astype(jnp.float32) * ts)
-    cols = (
-        key,
-        p_xy,
-        _pack2f16(ca, cb),
-        _pack2f16(cc, op),
-        _pack2f16(r, g),
-        _pack2f16(b, jnp.zeros_like(b)) | (rmx << 16) | (rmy << 24),
-        dmeta,
-    )
-    num_valid = jnp.sum(alive.astype(jnp.int32))
+    pays, dmeta, alive_ok, opac_q, num_valid = _pack_eval_cols(
+        feats, aux, config)
+    key = jnp.where(alive_ok, opac_q, jnp.uint32(1 << 24))
+    cols = (key,) + pays + (dmeta,)
     if config.kanchor and not with_orig and n % config.kgroup == 0:
         # per-anchor K-axis pre-compaction: priority-sort each anchor's
         # kgroup gaussians along the tiny lane axis (a vectorized sorting
@@ -434,6 +471,40 @@ def _expand_grid_packed(cols, nc, k_lo, k_hi, tx, num_tiles,
                   bcast(pb))
 
 
+def _expand_grid_packed8(cols, nc, k_lo, k_hi, tx, num_tiles):
+    """_expand_grid_packed for the pack8 4-column layout (see
+    _pack_eval_cols): rmx lives in c3 bits 24..31, rmy in c2 bits 27..31.
+    cols = (c_xy, c_cab, c_cco11rmy, c_rgbmx, dmeta)."""
+    c_xy, c_cab, c_cco, c_rgb, dmeta = cols
+    rmx = (c_rgb >> 24).astype(jnp.int32)
+    rmy = ((c_cco >> 27) & 0x1F).astype(jnp.int32)
+    rw_ = ((dmeta >> (DEPTH_KEY_BITS + 5)) & 0x3F).astype(jnp.int32)
+    touched = ((dmeta >> DEPTH_KEY_BITS) & 0x1F).astype(jnp.int32)
+    dkey = dmeta & ((1 << DEPTH_KEY_BITS) - 1)
+
+    kw = k_hi - k_lo
+    k = lax.broadcasted_iota(jnp.int32, (nc, kw), 1) + k_lo
+    ok = k < touched[:, None]
+    rw = jnp.maximum(rw_, 1)[:, None]
+    dy = k // rw
+    dx = k - dy * rw
+    tile_x = rmx[:, None] + dx
+    tile_y = rmy[:, None] + dy
+    tile = jnp.where(ok, tile_y * tx + tile_x, num_tiles).astype(jnp.uint32)
+    ukey = ((tile << DEPTH_KEY_BITS)
+            | jnp.broadcast_to(dkey[:, None], (nc, kw))).reshape(-1)
+    ts = 16.0
+    xr, yr = _unpack2f16(c_xy)
+    xi = xr[:, None] - dx.astype(jnp.float32) * ts
+    yi = yr[:, None] - dy.astype(jnp.float32) * ts
+    p_xy_i = _pack2f16(xi.reshape(-1), yi.reshape(-1))
+
+    def bcast(c):
+        return jnp.broadcast_to(c[:, None], (nc, kw)).reshape(-1)
+
+    return ukey, (p_xy_i, bcast(c_cab), bcast(c_cco), bcast(c_rgb))
+
+
 def expand_and_sort_packed(pc: PackedCompact, num_tiles_x: int,
                            num_tiles_y: int, config: RasterConfig,
                            return_packed: bool = False):
@@ -502,6 +573,14 @@ def expand_and_sort_packed(pc: PackedCompact, num_tiles_x: int,
         num_instances = jnp.sum(touched)
         num_large = jnp.int32(0)
 
+    return _finalize_eval_instances(ukey, pays, num_tiles, tx,
+                                    num_instances, num_large, return_packed)
+
+
+def _finalize_eval_instances(ukey, pays, num_tiles, tx, num_instances,
+                             num_large, return_packed):
+    """Shared tail of the packed EVAL binning: the (tile, depth) instance
+    sort + tile ranges, optionally unpacking back to f32 feature columns."""
     out = lax.sort((ukey,) + pays, num_keys=1, is_stable=True)
     ukey_sorted = out[0]
     tile_sorted = (ukey_sorted >> DEPTH_KEY_BITS).astype(jnp.int32)
@@ -538,6 +617,111 @@ def expand_and_sort_packed(pc: PackedCompact, num_tiles_x: int,
     tile_stop = jnp.searchsorted(tile_sorted, tiles, side="right").astype(
         jnp.int32)
     return feats_sorted, tile_start, tile_stop, num_instances, num_large
+
+
+def bin_eval_direct(feats, aux, num_tiles_x: int, num_tiles_y: int,
+                    config: RasterConfig, return_packed: bool = False):
+    """Direct-selection packed EVAL binning (RasterConfig.sel_direct): ONE
+    footprint-priority selection sort over the RAW [N] rows replaces BOTH
+    the global opacity-priority compaction sort (N x 7 operands) and the
+    compact-level footprint-selection sort — the selection prefix IS the
+    compaction. Tier-0 = the leading `compact` rows (every gaussian that
+    wins a slot gets ksmall instance slots), tiers 1/2 = the nmid/nlarge
+    prefixes of the SAME sort. Selection key: footprint desc, then opacity
+    desc (dead rows last), so under capacity pressure the
+    smallest-then-faintest drop first.
+
+    Output-identical to compact + expand whenever the alive count fits the
+    compaction capacity (parity: tests/test_packed_binning.py); returns
+    (feats_or_cols, tile_start, tile_stop, num_instances, num_valid).
+    """
+    assert config.tile == 16, "packed expansion assumes 16px tiles"
+    assert config.ksmall, "sel_direct requires tiered expansion"
+    nc, km, ks = config.compact, config.kmax, config.ksmall
+    tx = num_tiles_x
+    num_tiles = num_tiles_x * num_tiles_y
+    assert (num_tiles + 1) << DEPTH_KEY_BITS < (1 << 32), \
+        "tile id must fit above the 21-bit depth key"
+    assert tx <= 63, "rect_w packs into 6 dmeta bits (image width <= 1008)"
+    if config.pack8:
+        assert num_tiles_y <= 31, "pack8 rmy packs into 5 bits (height <= 496)"
+        assert return_packed, "pack8 decodes in-kernel only"
+
+    pays, dmeta, alive_ok, opac_q, num_valid = _pack_eval_cols(
+        feats, aux, config)
+    touched_raw = (dmeta >> DEPTH_KEY_BITS) & 0x1F
+    # footprint-primary (km - touched, 5 bits), opacity-secondary (16 bits);
+    # dead rows above everything
+    sel_key = jnp.where(
+        alive_ok,
+        ((km - touched_raw).astype(jnp.uint32) << 16) | opac_q,
+        jnp.uint32(0xFFFFFFFF))
+    cols = (sel_key,) + pays + (dmeta,)
+    n = sel_key.shape[0]
+    if config.kanchor and n % config.kgroup == 0:
+        ka, kg = config.kanchor, config.kgroup
+        grouped = [[c.reshape(-1, kg)[:, j] for c in cols]
+                   for j in range(kg)]
+        for pass_ in range(kg):
+            lo = pass_ % 2
+            for j in range(lo, kg - 1, 2):
+                a, b = grouped[j], grouped[j + 1]
+                swap = a[0] > b[0]
+                grouped[j] = [jnp.where(swap, y, x) for x, y in zip(a, b)]
+                grouped[j + 1] = [jnp.where(swap, x, y)
+                                  for x, y in zip(a, b)]
+        cols = tuple(
+            jnp.stack([grouped[j][ci] for j in range(ka)],
+                      axis=1).reshape(-1)
+            for ci in range(len(cols)))
+        n = n // kg * ka
+    if n < nc:
+        cols = tuple(
+            jnp.pad(c, (0, nc - n),
+                    constant_values=0xFFFFFFFF if i == 0 else 0)
+            for i, c in enumerate(cols))
+        n = nc
+
+    sel = lax.sort(cols, num_keys=1, is_stable=True)
+    cols_sel = sel[1:]
+    dm = len(cols_sel) - 1  # dmeta column index (4 payloads under pack8)
+    expand = _expand_grid_packed8 if config.pack8 else _expand_grid_packed
+
+    def _touched(cs):
+        return ((cs[dm] >> DEPTH_KEY_BITS) & 0x1F).astype(jnp.int32)
+
+    cols_0 = tuple(f[:nc] for f in cols_sel)
+    touched_0 = _touched(cols_0)
+    ukey_s, pays_s = expand(cols_0, nc, 0, ks, tx, num_tiles)
+    if config.nmid:
+        km_mid, nm, nl = config.kmid, config.nmid, config.nlarge
+        cols_m = tuple(f[:nm] for f in cols_sel)
+        cols_l = tuple(f[:nl] for f in cols_sel)
+        ukey_m, pays_m = expand(cols_m, nm, ks, km_mid, tx, num_tiles)
+        ukey_l, pays_l = expand(cols_l, nl, km_mid, km, tx, num_tiles)
+        ukey = jnp.concatenate([ukey_s, ukey_m, ukey_l])
+        pays_i = tuple(jnp.concatenate([a, b, c])
+                       for a, b, c in zip(pays_s, pays_m, pays_l))
+        touched_m = _touched(cols_m)
+        touched_l = _touched(cols_l)
+        num_instances = (
+            jnp.sum(jnp.minimum(touched_0, ks))
+            + jnp.sum(jnp.clip(touched_m - ks, 0, km_mid - ks))
+            + jnp.sum(jnp.maximum(touched_l - km_mid, 0)))
+    else:
+        nl = config.nlarge
+        cols_l = tuple(f[:nl] for f in cols_sel)
+        ukey_l, pays_l = expand(cols_l, nl, ks, km, tx, num_tiles)
+        ukey = jnp.concatenate([ukey_s, ukey_l])
+        pays_i = tuple(jnp.concatenate([a, b])
+                       for a, b in zip(pays_s, pays_l))
+        touched_l = _touched(cols_l)
+        num_instances = jnp.sum(jnp.minimum(touched_0, ks)) + jnp.sum(
+            jnp.maximum(touched_l - ks, 0))
+
+    res = _finalize_eval_instances(ukey, pays_i, num_tiles, tx,
+                                   num_instances, num_valid, return_packed)
+    return res
 
 
 def expand_and_sort_packed_train(pc: PackedCompact, num_tiles_x: int,

@@ -196,19 +196,33 @@ def _chunk_alpha_mxu(chunk, basis, ox, oy, lo, hi, base, cfg):
 
 def _chunk_alpha_mxu_packed(chunk, basis, lo, hi, base, cfg):
     """_chunk_alpha_mxu for a PACKED [8, C] u32 chunk (binning.py packed
-    column layout, rows: p_xy, p_cab, p_cco, p_rg, p_b, 3x pad). mean2d is
-    already instance-tile-local (expansion re-based it), so no ox/oy shift.
-    Returns (alpha, colors [3, C])."""
+    column layout, rows: p_xy, p_cab, p_cco, p_rg, p_b, 3x pad — or, with
+    cfg.pack8, rows: p_xy, p_cab, cc|op11|rmy, r8g8b8|rmx, 4x pad). mean2d
+    is already instance-tile-local (expansion re-based it), so no ox/oy
+    shift. Returns (alpha, colors [3, C])."""
     c = chunk.shape[1]
     x = _f16lo(chunk[0:1, :])
     y = _f16hi(chunk[0:1, :])
     ca = _f16lo(chunk[1:2, :])
     cb = _f16hi(chunk[1:2, :])
     cc = _f16lo(chunk[2:3, :])
-    op = _f16hi(chunk[2:3, :])
-    r = _f16lo(chunk[3:4, :])
-    g = _f16hi(chunk[3:4, :])
-    b = _f16lo(chunk[4:5, :] & 0xFFFF)
+    if cfg.pack8:
+        # 11-bit fixed-point opacity + byte colors (values <= 2047/255, so
+        # the i32 intermediate cast is exact — Mosaic has no u32->f32)
+        op = ((chunk[2:3, :] >> 16) & 0x7FF).astype(jnp.int32).astype(
+            jnp.float32) * jnp.float32(1.0 / 2047.0)
+        inv255 = jnp.float32(1.0 / 255.0)
+        r = (chunk[3:4, :] & 0xFF).astype(jnp.int32).astype(
+            jnp.float32) * inv255
+        g = ((chunk[3:4, :] >> 8) & 0xFF).astype(jnp.int32).astype(
+            jnp.float32) * inv255
+        b = ((chunk[3:4, :] >> 16) & 0xFF).astype(jnp.int32).astype(
+            jnp.float32) * inv255
+    else:
+        op = _f16hi(chunk[2:3, :])
+        r = _f16lo(chunk[3:4, :])
+        g = _f16hi(chunk[3:4, :])
+        b = _f16lo(chunk[4:5, :] & 0xFFFF)
 
     coef = jnp.concatenate(
         [
@@ -829,12 +843,43 @@ def binned_blend_eval(feats, aux, bg, static):
     eval path discards it). f16 payload rounding bounds the color error
     (parity test: tests/test_packed_binning.py)."""
     from segs_slam_tpu.ops.rasterizer.binning import (
+        bin_eval_direct,
         compact_gaussians_packed,
         expand_and_sort_packed,
     )
 
     cfg, tx, ty, npix, interpret = static
     nt = tx * ty
+
+    if cfg.sel_direct:
+        # one footprint-priority selection sort over the raw rows replaces
+        # the compaction + selection pair (binning.bin_eval_direct)
+        cols_sorted, tile_start, tile_stop, num_instances, num_valid = (
+            bin_eval_direct(feats, aux, tx, ty, cfg, return_packed=True))
+        nk = cfg.max_instances
+        npad = 8 - len(cols_sorted)  # 3 (5 payload cols) or 4 (pack8)
+        stacked = jnp.stack(
+            list(cols_sorted) + [jnp.zeros((nk,), jnp.uint32)] * npad,
+            axis=0)
+        feats_hbm = jnp.concatenate(
+            [stacked, jnp.zeros((8, cfg.chunk), jnp.uint32)], axis=1)
+        kern_fn = _fwd_kernel_eval_packed
+        chunk_scratch = pltpu.VMEM((2, 8, cfg.chunk), jnp.uint32)
+        sup = _pick_sup(tx)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        scratch = [chunk_scratch, pltpu.SemaphoreType.DMA((2,))]
+        kern = functools.partial(kern_fn, cfg=cfg, tx=tx, npix=npix, sup=sup)
+        out_shapes = (jax.ShapeDtypeStruct((nt, 3, npix), jnp.float32),)
+        out_specs = (pl.BlockSpec((sup, 3, npix), lambda i, *_: (i, 0, 0)),)
+        call = _pallas_call(kern, static, out_shapes, out_specs, in_specs,
+                            scratch, grid=(nt // sup,))
+        (color,) = call(tile_start, tile_stop, feats_hbm, bg.reshape(3, 1))
+        zeros1 = jnp.zeros((nt, 1, npix), jnp.float32)
+        return (color, zeros1, zeros1, zeros1.astype(jnp.int32),
+                num_instances, num_valid)
 
     pc = compact_gaussians_packed(feats, aux, cfg)
     # in-kernel unpack everywhere (interpret mode included, so CPU tests

@@ -66,6 +66,22 @@ class RasterConfig:
     # 65k-map histogram measured 18 of 45k visible anchors above 6 of 10.
     kanchor: int = 0
     kgroup: int = 0
+    # Direct-selection eval binning (packed eval path only): SKIP the global
+    # opacity-priority compaction sort entirely; ONE footprint-priority
+    # selection sort over the RAW cap*K rows serves as both the compaction
+    # and the tier selection (tier-0 = the leading `compact` rows of the
+    # selection, tiers 1/2 = its nmid/nlarge prefixes). Saves the whole
+    # compact-sort pass; under capacity pressure it drops the
+    # smallest-footprint-then-faintest gaussians instead of the faintest.
+    sel_direct: bool = False
+    # Byte-packed color payload (eval + sel_direct only): r/g/b as 8-bit,
+    # opacity as 11-bit fixed point — squeezing the 5 packed payload columns
+    # into 4, i.e. the instance sort to 5 operands and the selection sort to
+    # 6, while KEEPING the full 21-bit depth key (no ordering regression).
+    # Color quantization adds <= 1/510 per contribution (the render is saved
+    # as 8-bit PNG anyway); opacity 11-bit steps are ~0.0005. Requires
+    # sel_direct and a tile grid <= 63x31 (rmx/rmy bit budgets).
+    pack8: bool = False
     # Use the packed (f16-pair payload) binning sorts on the TRAINING path
     # too (binning.py packed section): ~2x less sorted bandwidth on the two
     # dominant sorts in exchange for f16 rounding of the blend features
@@ -95,6 +111,12 @@ class RasterConfig:
             raise ValueError("ksmall > 0 requires nlarge > 0")
         if self.kanchor and (not self.kgroup or self.kanchor >= self.kgroup):
             raise ValueError("kanchor requires 0 < kanchor < kgroup")
+        if self.sel_direct and not self.ksmall:
+            raise ValueError("sel_direct requires the tiered expansion "
+                             "(ksmall > 0)")
+        if self.pack8 and not self.sel_direct:
+            raise ValueError("pack8 is implemented on the sel_direct eval "
+                             "path only")
 
     def grid(self, width: int, height: int) -> tuple[int, int]:
         tx = (width + self.tile - 1) // self.tile

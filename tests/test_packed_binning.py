@@ -370,3 +370,101 @@ def test_kanchor_render_close_under_overflow():
     ref, kan = np.asarray(ref), np.asarray(kan)
     assert ref.max() > 0.0
     assert np.abs(kan - ref).mean() < 2e-2
+
+
+def test_sel_direct_matches_compacted():
+    """Direct-selection eval binning (RasterConfig.sel_direct: one
+    footprint-priority selection sort over the raw rows, no compaction
+    sort) must emit the IDENTICAL instance multiset (same (tile, depth)
+    keys, same f16 payloads) as compact+expand when the alive count fits
+    the compaction capacity. Images may differ microscopically where two
+    instances tie in the 21-bit depth key (the stable instance sort then
+    preserves each path's different pre-sort order), so the image check is
+    a tight atol rather than bitwise."""
+    from segs_slam_tpu.models.renderer import ChainedEvalRenderer, EvalRenderer
+    from segs_slam_tpu.ops.rasterizer.binning import (
+        bin_eval_direct,
+        compact_gaussians_packed,
+        expand_and_sort_packed,
+    )
+
+    mc, anchors, decoders, cam_in, w, h = _scene(seed=7)
+    bg = jnp.zeros(3)
+    for tiers in (dict(ksmall=2, nlarge=64),
+                  dict(ksmall=2, kmid=4, nmid=128, nlarge=64)):
+        rc = RasterConfig(tile=16, compact=256, kmax=8, chunk=64, **tiers)
+        rc_d = RasterConfig(tile=16, compact=256, kmax=8, chunk=64,
+                            sel_direct=True, **tiers)
+
+        # structural check: identical sorted instance multiset
+        chained = ChainedEvalRenderer(mc, rc, w, h, bg, interpret=True,
+                                      packed=True)
+        neural = chained._decode(anchors, decoders, cam_in)
+        feats, aux = chained._project(neural, cam_in)
+        tx, ty = rc.grid(w, h)
+        pc = compact_gaussians_packed(feats, aux, rc)
+        cols_ref, st_ref, sp_ref, ni_ref, _ = expand_and_sort_packed(
+            pc, tx, ty, rc, return_packed=True)
+        cols_d, st_d, sp_d, ni_d, nv_d = bin_eval_direct(
+            feats, aux, tx, ty, rc_d, return_packed=True)
+        assert int(ni_d) == int(ni_ref)
+        np.testing.assert_array_equal(np.asarray(st_d), np.asarray(st_ref))
+        np.testing.assert_array_equal(np.asarray(sp_d), np.asarray(sp_ref))
+        # per-tile instance multisets (only the [start, stop) segments the
+        # blend consumes — sentinel rows beyond them are never read and
+        # legitimately differ)
+        rows_ref = np.stack([np.asarray(c) for c in cols_ref], 1)
+        rows_d = np.stack([np.asarray(c) for c in cols_d], 1)
+        for t in range(len(np.asarray(st_ref))):
+            a, b = int(np.asarray(st_ref)[t]), int(np.asarray(sp_ref)[t])
+            seg_ref = rows_ref[a:b]
+            seg_d = rows_d[a:b]
+            np.testing.assert_array_equal(
+                seg_d[np.lexsort(seg_d.T[::-1])],
+                seg_ref[np.lexsort(seg_ref.T[::-1])], err_msg=f"tile {t}")
+
+        ref = EvalRenderer(mc, rc, w, h, bg, interpret=True)(
+            anchors, decoders, cam_in)
+        got = EvalRenderer(mc, rc_d, w, h, bg, interpret=True)(
+            anchors, decoders, cam_in)
+        assert float(jnp.max(ref)) > 0.0
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-3)
+
+
+def test_sel_direct_overflow_prefers_large_footprints():
+    """Under capacity pressure sel_direct keeps the largest-footprint (then
+    most opaque) gaussians; the render must stay finite and non-empty."""
+    from segs_slam_tpu.models.renderer import EvalRenderer
+
+    mc, anchors, decoders, cam_in, w, h = _scene(seed=11, n=60)
+    bg = jnp.zeros(3)
+    rc_d = RasterConfig(tile=16, compact=64, kmax=8, chunk=64,
+                        ksmall=2, nlarge=32, sel_direct=True)
+    img = EvalRenderer(mc, rc_d, w, h, bg, interpret=True)(
+        anchors, decoders, cam_in)
+    a = np.asarray(img)
+    assert np.isfinite(a).all() and a.max() > 0.0
+
+
+def test_pack8_matches_f16_packed():
+    """pack8 (byte color + 11-bit opacity, 4 payload columns) must match
+    the f16-pair sel_direct render within its quantization budget: color
+    payloads quantize at 1/255 (<= ~2/255 after blending), opacity at
+    1/2047; the depth key is untouched so instance ORDER is identical."""
+    from segs_slam_tpu.models.renderer import EvalRenderer
+
+    mc, anchors, decoders, cam_in, w, h = _scene(seed=13)
+    bg = jnp.zeros(3)
+    rc = RasterConfig(tile=16, compact=256, kmax=8, chunk=64,
+                      ksmall=2, nlarge=64, sel_direct=True)
+    rc8 = RasterConfig(tile=16, compact=256, kmax=8, chunk=64,
+                       ksmall=2, nlarge=64, sel_direct=True, pack8=True)
+    ref = EvalRenderer(mc, rc, w, h, bg, interpret=True)(
+        anchors, decoders, cam_in)
+    got = EvalRenderer(mc, rc8, w, h, bg, interpret=True)(
+        anchors, decoders, cam_in)
+    assert float(jnp.max(ref)) > 0.0
+    d = np.abs(np.asarray(got) - np.asarray(ref))
+    assert d.max() < 1.5e-2, d.max()
+    assert d.mean() < 1.5e-3, d.mean()
