@@ -2570,8 +2570,14 @@ static int track_depth_impl(Tracker* T, const cv::Mat& img,
             cv::Mat Nbg = N(cv::Rect(0, 3, 3, 3));
             cv::Mat yb = T->ba_y.rowRange(3, 6) - Nbg * T->gravity_w;
             cv::Mat db;
-            if (cv::solve(Nbb, yb, db, cv::DECOMP_CHOLESKY) &&
-                cv::norm(db) < 1.0) {
+            bool solved = cv::solve(Nbb, yb, db, cv::DECOMP_CHOLESKY);
+            if (getenv("SG_TRACKER_DEBUG") && solved)
+              fprintf(stderr,
+                      "[imu-init] f=%d bias-only db (%.3f %.3f %.3f) "
+                      "|db|=%.3f n=%d\n",
+                      frame_no, db.at<double>(0), db.at<double>(1),
+                      db.at<double>(2), cv::norm(db), T->ba_count);
+            if (solved && cv::norm(db) < 2.0) {
               T->accel_bias += db;
               T->joint_committed = true;
               T->ba_N = cv::Mat::zeros(6, 6, CV_64F);

@@ -201,3 +201,78 @@ def test_pr_index_and_imu_init_apis():
     assert tracker.imu_accel_bias() == [0.0, 0.0, 0.0]
     assert tracker.poll_scale() == 0.0
     assert tracker.poll_scale() == 0.0
+
+
+def test_accel_bias_recovery_known_gravity():
+    """Inject a large accel bias into a synthetic RGB-D + IMU sequence with
+    KNOWN gravity (set_gravity): the staged bias-only solve
+    (tracker.cpp ba_N, gravity_fixed branch) must recover it. The bias is
+    deliberately large (0.6 m/s^2-scale) because frame-rate velocity
+    differencing has a ~0.3 m/s^2 noise floor from PnP jitter — the
+    estimator's job is rejecting gross bias, mirroring ORB-SLAM3's
+    InertialOptimization accel-bias states (LocalMapping.cc InitializeIMU)."""
+    from segs_slam_tpu.utils.make_imu import derive_imu
+    from segs_slam_tpu.core.se3 import rotmat_to_quat
+    import jax.numpy as jnp
+
+    w, h = 320, 240
+    fx = fy = 200.0
+    rng = np.random.default_rng(11)
+    pts = rng.uniform([-2.0, -1.4, 1.6], [2.0, 1.4, 3.2], (700, 3))
+    n_frames, fps = 140, 30.0
+
+    def pose(i):
+        t = i / fps
+        yaw = 0.12 * np.sin(2 * np.pi * t / 2.1)
+        pitch = 0.08 * np.sin(2 * np.pi * t / 1.4 + 1.0)
+        cy_, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Ry = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
+        Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        R = (Rx @ Ry).T  # world-to-camera
+        c = np.array([0.25 * np.sin(2 * np.pi * t / 1.7),
+                      0.15 * np.sin(2 * np.pi * t / 1.1 + 0.5),
+                      0.10 * np.sin(2 * np.pi * t / 2.3)])
+        return R, -R @ c
+
+    def render(R, t):
+        p = (R @ pts.T).T + t
+        uv = np.stack([p[:, 0] / p[:, 2] * fx + w / 2,
+                       p[:, 1] / p[:, 2] * fy + h / 2], 1)
+        img = _render_dots(w, h, uv)
+        depth = np.full((h, w), 2.4, np.float32)
+        for (uu, vv), z in zip(uv, p[:, 2]):
+            ui, vi = int(uu), int(vv)
+            if 0 <= ui < w and 0 <= vi < h:
+                depth[max(0, vi - 3): vi + 3, max(0, ui - 3): ui + 3] = z
+        return img, depth
+
+    poses = []
+    for i in range(n_frames):
+        R, t = pose(i)
+        q = np.asarray(rotmat_to_quat(jnp.asarray(R, jnp.float32)), float)
+        poses.append((q, t))
+    bias_true = np.array([0.6, -0.8, 0.4])
+    times, gyro, accel = derive_imu(poses, cam_fps=fps, imu_rate=200.0,
+                                    accel_bias=tuple(bias_true))
+
+    tracker = NativeTracker(fx, fy, w / 2, h / 2, n_features=900)
+    tracker.set_gravity([0.0, 9.81, 0.0])
+    dt_s = times[1] - times[0]
+    cur = 0
+    tracked = 0
+    for i in range(n_frames):
+        t_frame = i / fps
+        while cur < len(times) and times[cur] < t_frame - 1e-9:
+            tracker.feed_imu(dt_s, gyro[cur], accel[cur])
+            cur += 1
+        R, t = pose(i)
+        img, depth = render(R, t)
+        status, pose7, n_inl = tracker.track(img, depth)
+        tracked += status >= 0
+    assert tracked > 100  # the sequence must actually track
+
+    ab = np.asarray(tracker.imu_accel_bias())
+    assert np.any(ab != 0.0), "bias solve never committed"
+    err = np.linalg.norm(ab - bias_true)
+    assert err < 0.35, (ab, bias_true, err)
