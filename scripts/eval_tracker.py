@@ -127,6 +127,9 @@ def main():
 
     est = np.stack(est_centers)
     gt = np.stack(gt_centers)
+    import os as _os
+    if _os.environ.get("SG_DUMP_TRAJ"):
+        np.savez(_os.environ["SG_DUMP_TRAJ"], est=est, gt=gt)
     ate_online = ate_rmse(est, gt, correct_scale=args.mono)
 
     ids, fnos, poses = tracker.trajectory()

@@ -88,7 +88,7 @@ def main(argv=None):
     active = np.asarray(ts.anchors.active)
     center = anchors_np[active].mean(axis=0)
 
-    chain = EvalRenderer(mc, rc, w, h, jnp.zeros(3))
+    chain = EvalRenderer(mc, rc.eval_variant(w, h), w, h, jnp.zeros(3))
 
     def _render(cam_in):
         return chain(ts.anchors, ts.decoders, cam_in)

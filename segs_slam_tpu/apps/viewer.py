@@ -119,7 +119,7 @@ def build_renderer(args):
                       chunk=256, ksmall=args.ksmall,
                       nlarge=args.nlarge if args.ksmall else 0)
 
-    chain = EvalRenderer(mc, rc, w, h, jnp.zeros(3))
+    chain = EvalRenderer(mc, rc.eval_variant(w, h), w, h, jnp.zeros(3))
 
     def _render(cam_in):
         return chain(ts.anchors, ts.decoders, cam_in)
@@ -252,7 +252,8 @@ def serve_live(trainer, port=8600, size=480):
             # lazy: the first request pays the eval-chain compile (the
             # persistent cache makes reruns instant)
             chain_box["chain"] = EvalRenderer(
-                trainer.model_config, trainer.raster_config, w, h,
+                trainer.model_config,
+                trainer.raster_config.eval_variant(w, h), w, h,
                 jnp.zeros(3))
         cam_in = _pose_to_cam_inputs(pos, yaw, pitch, cam)
         with lock:  # one viewer render in flight at a time

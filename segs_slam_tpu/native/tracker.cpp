@@ -243,14 +243,31 @@ struct Tracker {
 
   // --- mono-inertial scale refinement (reference: ORB-SLAM3
   // LocalMapping.cc:1296-1305,1496-1505 pushing ScaleRefinement ops): the
-  // mono map lives at an arbitrary scale s; velocity deltas in mono units
-  // satisfy  s dv_vis = g dt + R_wb_prev dv_imu  (metric IMU), which is
-  // linear in [s; g]. When the 4x4 normal equations become well-posed the
-  // solve rescales the whole internal map to metric and surfaces the factor
-  // through sg_tracker_poll_scale for the app to push a SCALE_REFINEMENT op.
-  cv::Mat ms_N = cv::Mat::zeros(4, 4, CV_64F);
-  cv::Mat ms_y = cv::Mat::zeros(4, 1, CV_64F);
-  int ms_count = 0;
+  // mono map lives at an arbitrary scale s. The round-5 estimator is
+  // POSITION-level over ~H-frame horizons (the per-frame velocity-delta
+  // form measured attenuation-biased: frame-rate visual velocity
+  // differences are noise-dominated on smooth motion, collapsing s toward
+  // 0). Per-frame preintegrated segments are composed into horizon
+  // segments; node-to-node positions satisfy
+  //   s dc_j = v0 dT_j + (T_j dT_j + dT_j^2/2) g + [R_j DP_j + S_j dT_j]
+  // with S_j = sum_{k<j} R_k DV_k (velocities eliminated by exact IMU
+  // propagation), linear in [s; g; v0]. Committed once two consecutive
+  // solves agree; the whole internal map is rescaled to metric and the
+  // factor surfaces through sg_tracker_poll_scale for the app to push a
+  // SCALE_REFINEMENT op.
+  cv::Mat h_DR = cv::Mat::eye(3, 3, CV_64F);   // running horizon preint
+  cv::Mat h_DV = cv::Mat::zeros(3, 1, CV_64F);
+  cv::Mat h_DP = cv::Mat::zeros(3, 1, CV_64F);
+  double h_dt = 0.0;
+  int h_frames = 0;
+  cv::Mat hn_c, hn_R;        // last node: camera center (mono), R_wb
+  bool hn_valid = false;
+  cv::Mat h_S = cv::Mat::zeros(3, 1, CV_64F);  // sum R_k DV_k (metric)
+  double h_T = 0.0;                            // time since first node
+  cv::Mat hs_N = cv::Mat::zeros(7, 7, CV_64F); // normal eqs over [s;g;v0]
+  cv::Mat hs_y = cv::Mat::zeros(7, 1, CV_64F);
+  int hs_seg = 0;
+  double hs_s_prev = -1.0;   // last solve's s (commit needs 2 in agreement)
   double pending_scale = 0.0;  // poll-once surface for the app
   bool scale_refined = false;
 
@@ -3352,6 +3369,20 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
         T->mono_initialized = false;
         T->init_kps.clear();
         T->reject_streak = 0;
+        // the fresh bootstrap picks a NEW arbitrary map scale: restart the
+        // scale estimator's position chain and normal equations
+        T->hn_valid = false;
+        T->h_DR = cv::Mat::eye(3, 3, CV_64F);
+        T->h_DV = cv::Mat::zeros(3, 1, CV_64F);
+        T->h_DP = cv::Mat::zeros(3, 1, CV_64F);
+        T->h_dt = 0.0;
+        T->h_frames = 0;
+        T->h_S = cv::Mat::zeros(3, 1, CV_64F);
+        T->h_T = 0.0;
+        T->hs_N = cv::Mat::zeros(7, 7, CV_64F);
+        T->hs_y = cv::Mat::zeros(7, 1, CV_64F);
+        T->hs_seg = 0;
+        T->hs_s_prev = -1.0;
         if (getenv("SG_TRACKER_DEBUG"))
           fprintf(stderr, "[mono] f=%d re-bootstrap (reject streak)\n",
                   frame_no);
@@ -3369,10 +3400,11 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     // --- mono-inertial initialization (reference: ORB-SLAM3
     // LocalMapping.cc:1296-1305 ScaleRefinement): gyro bias is scale-free
     // (same residual as the RGB-D path); scale+gravity come from the
-    // velocity-delta equation  s dv_vis = g dt + R_wb_prev dv_imu,
-    // linear in [s; g]. Solved when the normal equations become well-posed;
-    // the whole internal map is then rescaled to metric and the factor is
-    // surfaced through sg_tracker_poll_scale.
+    // horizon-based position-level linear system in [s; g; v0] (see the
+    // state-struct comment) — solved once >=3 horizon segments accumulate,
+    // committed when two consecutive solves agree. The whole internal map
+    // is then rescaled to metric; the factor is surfaced through
+    // sg_tracker_poll_scale.
     const double dti = T->imu_dt_sum;
     cv::Mat c_prev = -T->R_cur.t() * T->t_cur;
     cv::Mat c_new = -R.t() * t;
@@ -3393,25 +3425,77 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
         T->bias_den = 0.0;
       }
     }
-    if (T->have_v_w_prev && !T->scale_refined) {
-      // A_k [s; g] = R_wb_prev dv_imu with A_k = [dv_vis | -dt I]
-      cv::Mat A = cv::Mat::zeros(3, 4, CV_64F);
-      cv::Mat dvv = v_new - T->v_w_prev;
-      dvv.copyTo(A(cv::Rect(0, 0, 1, 3)));
-      cv::Mat(cv::Mat::eye(3, 3, CV_64F) * -dti)
-          .copyTo(A(cv::Rect(1, 0, 3, 3)));
-      cv::Mat b = T->R_cur.t() * T->imu_dv;
-      T->ms_N += A.t() * A;
-      T->ms_y += A.t() * b;
-      T->ms_count++;
-      if (T->ms_count >= 45 && T->ms_count % 45 == 0) {
+    {
+      // compose this frame's preintegrated segment into the running
+      // horizon (body frame of the horizon's first frame):
+      //   DP' = DP + DV dt + DR dp;  DV' = DV + DR dv;  DR' = DR dR
+      T->h_DP += T->h_DV * dti + T->h_DR * T->imu_dp;
+      T->h_DV += T->h_DR * T->imu_dv;
+      T->h_DR = T->h_DR * T->imu_dR;
+      T->h_dt += dti;
+      T->h_frames++;
+      bool solved_now = false;
+      if (T->h_frames >= 15) {  // node boundary (~0.5 s horizons)
+        cv::Mat R_wb_new = R.t();
+        if (T->hn_valid) {
+          // segment equations, regressed in the direction that keeps the
+          // NOISY quantity (the visual node displacement dc) as the
+          // target — regressing dc ON the noise-free IMU-side regressors
+          // avoids the errors-in-variables attenuation that biased both
+          // earlier designs toward s=0 (measured: velocity form s=0.002,
+          // position-as-regressor form s=2.4 vs true ~3.8):
+          //   dc_j = sigma b_j + (T_j dT_j + dT_j^2/2) g'' + dT_j v0''
+          // with sigma = 1/s, g'' = g/s, v0'' = v0/s.
+          cv::Mat A = cv::Mat::zeros(3, 7, CV_64F);
+          cv::Mat dc = c_new - T->hn_c;
+          cv::Mat b = T->hn_R * T->h_DP + T->h_S * T->h_dt;
+          b.copyTo(A(cv::Rect(0, 0, 1, 3)));
+          const double gc = T->h_T * T->h_dt + 0.5 * T->h_dt * T->h_dt;
+          cv::Mat(cv::Mat::eye(3, 3, CV_64F) * gc)
+              .copyTo(A(cv::Rect(1, 0, 3, 3)));
+          cv::Mat(cv::Mat::eye(3, 3, CV_64F) * T->h_dt)
+              .copyTo(A(cv::Rect(4, 0, 3, 3)));
+          T->hs_N += A.t() * A;
+          T->hs_y += A.t() * dc;
+          T->hs_seg++;
+          T->h_S += T->hn_R * T->h_DV;
+          T->h_T += T->h_dt;
+          solved_now = T->hs_seg >= 3;
+        }
+        T->hn_c = c_new.clone();
+        T->hn_R = R_wb_new;
+        T->hn_valid = true;
+        T->h_DR = cv::Mat::eye(3, 3, CV_64F);
+        T->h_DV = cv::Mat::zeros(3, 1, CV_64F);
+        T->h_DP = cv::Mat::zeros(3, 1, CV_64F);
+        T->h_dt = 0.0;
+        T->h_frames = 0;
+      }
+      if (solved_now) {
         cv::Mat x;
-        cv::Mat N = T->ms_N + cv::Mat::eye(4, 4, CV_64F) * 1e-8;
-        if (cv::solve(N, T->ms_y, x, cv::DECOMP_CHOLESKY)) {
-          double s = x.at<double>(0);
-          cv::Mat g_est = x.rowRange(1, 4);
+        cv::Mat N = T->hs_N + cv::Mat::eye(7, 7, CV_64F) * 1e-8;
+        if (cv::solve(N, T->hs_y, x, cv::DECOMP_CHOLESKY) &&
+            std::abs(x.at<double>(0)) > 1e-6) {
+          double s = 1.0 / x.at<double>(0);       // sigma = 1/s
+          cv::Mat g_est = x.rowRange(1, 4) * s;   // g'' = g/s
           double gn = cv::norm(g_est);
-          if (s > 0.05 && s < 100.0 && gn > 7.0 && gn < 13.0) {
+          double s_prev = T->hs_s_prev;
+          T->hs_s_prev = s;
+          if (getenv("SG_TRACKER_DEBUG"))
+            fprintf(stderr,
+                    "[mono-imu] f=%d horizon solve segs=%d s=%.4f |g|=%.2f\n",
+                    frame_no, T->hs_seg, s, gn);
+          // commit only when two consecutive solves agree within 15%.
+          // After the first commit the map is nominally metric; further
+          // commits are DRIFT corrections (mono scale drifts over time),
+          // so they additionally require a >=10% deviation from 1 —
+          // mirrors ORB-SLAM3's repeated ScaleRefinement pushes
+          // (LocalMapping.cc:1296-1305,1496-1505).
+          bool agree = s > 0.05 && s < 100.0 && gn > 7.0 && gn < 13.0 &&
+                       s_prev > 0.0 && std::abs(s - s_prev) < 0.15 * s;
+          if (agree && T->scale_refined && std::abs(s - 1.0) < 0.10)
+            agree = false;
+          if (agree) {
             // rescale the internal map to metric: X' = s X, t' = s t
             for (auto& mp : T->mpts) mp.X *= s;
             for (auto& mp : T->arch) mp.X *= s;
@@ -3429,13 +3513,33 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
             T->gravity_w = 9.81 * g_est / gn;
             T->gravity_estimated = true;
             T->scale_refined = true;
-            T->pending_scale = s;
+            // compose (the app may poll less often than we commit)
+            T->pending_scale =
+                T->pending_scale > 0.0 ? T->pending_scale * s : s;
+            // restart the estimator on a fresh block: the old equations
+            // are at the pre-rescale map scale
+            T->hn_valid = false;
+            T->h_S = cv::Mat::zeros(3, 1, CV_64F);
+            T->h_T = 0.0;
+            T->hs_N = cv::Mat::zeros(7, 7, CV_64F);
+            T->hs_y = cv::Mat::zeros(7, 1, CV_64F);
+            T->hs_seg = 0;
+            T->hs_s_prev = -1.0;
             if (getenv("SG_TRACKER_DEBUG"))
               fprintf(stderr,
                       "[mono-imu] f=%d scale refinement s=%.4f gravity "
                       "(%.2f %.2f %.2f)\n",
                       frame_no, s, T->gravity_w.at<double>(0),
                       T->gravity_w.at<double>(1), T->gravity_w.at<double>(2));
+          } else if (T->hs_seg >= 8) {
+            // block cap (~4 s): restart the chain so v0 stays local and
+            // stale (scale-drifted) segments cannot pin the estimate
+            T->hn_valid = false;
+            T->h_S = cv::Mat::zeros(3, 1, CV_64F);
+            T->h_T = 0.0;
+            T->hs_N = cv::Mat::zeros(7, 7, CV_64F);
+            T->hs_y = cv::Mat::zeros(7, 1, CV_64F);
+            T->hs_seg = 0;
           }
         }
       }

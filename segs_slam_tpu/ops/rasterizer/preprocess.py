@@ -123,6 +123,28 @@ class RasterConfig:
         ty = (height + self.tile - 1) // self.tile
         return tx, ty
 
+    def eval_variant(self, width: int, height: int) -> "RasterConfig":
+        """The production EVAL-path upgrade of this (training) config: the
+        round-5 65k sweep winner — 3-tier expansion + direct-selection
+        binning + byte-packed color payloads (sel_direct + pack8), which
+        replaces compact+select+instance sorts (~9 ms at the 65k full-map
+        point) with selection+instance (~5.7 ms; scripts/sweep_eval65k.py,
+        PERF_NOTES.md). Returns self unchanged when the packed-path
+        constraints don't hold (16px tiles, grid <= 63x31, kmax <= 31) —
+        the fallback stays the exact training-path binning."""
+        import dataclasses
+
+        tx, ty = self.grid(width, height)
+        if (self.tile != 16 or tx > 63 or ty > 31 or self.kmax > 31
+                or self.kmax < 6):
+            return self
+        nmid = max(self.nmid, self.compact // 8)
+        nlarge = min(nmid, max(self.nlarge if self.ksmall else 0,
+                               self.compact // 32))
+        return dataclasses.replace(
+            self, sel_direct=True, pack8=True, packed_train=False,
+            ksmall=2, kmid=self.kmax // 2, nmid=nmid, nlarge=nlarge)
+
     @property
     def max_instances(self) -> int:
         if self.ksmall and self.nmid:

@@ -544,8 +544,12 @@ class Trainer:
         if not hasattr(self, "_eval_render_chain"):
             from segs_slam_tpu.models.renderer import EvalRenderer
 
+            # round-5 production eval config: the 65k-sweep winner
+            # (sel_direct + pack8 + 3-tier; PERF_NOTES.md) when the packed
+            # constraints hold, else the training config unchanged.
+            rc = self.raster_config.eval_variant(self.width, self.height)
             self._eval_render_chain = EvalRenderer(
-                self.model_config, self.raster_config, self.width,
+                self.model_config, rc, self.width,
                 self.height, self._bg, interpret=self.interpret)
         return self._eval_render_chain
 

@@ -468,3 +468,32 @@ def test_pack8_matches_f16_packed():
     d = np.abs(np.asarray(got) - np.asarray(ref))
     assert d.max() < 1.5e-2, d.max()
     assert d.mean() < 1.5e-3, d.mean()
+
+
+def test_eval_variant_parity_and_fallback():
+    """RasterConfig.eval_variant (the production eval upgrade: 3-tier +
+    sel_direct + pack8) must render within quantization tolerance of the
+    base config, and must return the config UNCHANGED when the packed-path
+    constraints fail (big grids fall back to the training binning)."""
+    from segs_slam_tpu.models.renderer import EvalRenderer
+
+    mc, anchors, decoders, cam_in, w, h = _scene(seed=17)
+    bg = jnp.zeros(3)
+    rc = RasterConfig(tile=16, compact=256, kmax=8, chunk=64,
+                      ksmall=4, nlarge=64)
+    ev = rc.eval_variant(w, h)
+    assert ev.sel_direct and ev.pack8 and ev.nmid and ev.kmid == 4
+    assert ev.nlarge <= ev.nmid
+    ref = EvalRenderer(mc, rc, w, h, bg, interpret=True)(
+        anchors, decoders, cam_in)
+    got = EvalRenderer(mc, ev, w, h, bg, interpret=True)(
+        anchors, decoders, cam_in)
+    assert float(jnp.max(ref)) > 0.0
+    d = np.abs(np.asarray(got) - np.asarray(ref))
+    assert d.max() < 1.5e-2, d.max()
+
+    # fallback: a 1200x680 grid (75x43 tiles) exceeds the packed limits
+    assert rc.eval_variant(1200, 680) == rc
+    # and tiny kmax cannot host the 3-tier split
+    rc2 = RasterConfig(tile=16, compact=256, kmax=4, chunk=64)
+    assert rc2.eval_variant(w, h) == rc2
