@@ -3292,6 +3292,10 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     }
   };
   guided_match(16.0, 64);
+  // widen EARLY (< 60, was < 30): in the starvation regime match counts
+  // hover in the 30s while inliers bleed out — by the time the old trigger
+  // fired the map had no matchable coverage left (round-5 mono autopsy)
+  if (obj.size() < 60) guided_match(32.0, 64);
   if (obj.size() < 30) guided_match(48.0, 64);  // wider: recover after loss
   if (getenv("SG_TRACKER_DEBUG"))
     fprintf(stderr, "[mono] map=%zu guided-matches=%zu\n", active.size(),
@@ -3485,16 +3489,24 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
             fprintf(stderr,
                     "[mono-imu] f=%d horizon solve segs=%d s=%.4f |g|=%.2f\n",
                     frame_no, T->hs_seg, s, gn);
-          // commit only when two consecutive solves agree within 15%.
-          // After the first commit the map is nominally metric; further
-          // commits are DRIFT corrections (mono scale drifts over time),
-          // so they additionally require a >=10% deviation from 1 —
-          // mirrors ORB-SLAM3's repeated ScaleRefinement pushes
+          // FIRST commit: two consecutive solves must agree within 15%
+          // (a wrong global rescale is expensive). AFTER that the map is
+          // nominally metric and commits become a drift SERVO: any sane
+          // solve (gravity norm right, s within [0.5, 2]) with >=5%
+          // deviation commits a CLAMPED correction every block, no
+          // agreement required — residual mono scale drift (~0.7%/frame
+          // measured pre-fix) outruns any two-block agreement window.
+          // Mirrors ORB-SLAM3's repeated ScaleRefinement pushes
           // (LocalMapping.cc:1296-1305,1496-1505).
-          bool agree = s > 0.05 && s < 100.0 && gn > 7.0 && gn < 13.0 &&
-                       s_prev > 0.0 && std::abs(s - s_prev) < 0.15 * s;
-          if (agree && T->scale_refined && std::abs(s - 1.0) < 0.10)
-            agree = false;
+          bool agree;
+          if (!T->scale_refined) {
+            agree = s > 0.05 && s < 100.0 && gn > 7.0 && gn < 13.0 &&
+                    s_prev > 0.0 && std::abs(s - s_prev) < 0.15 * s;
+          } else {
+            agree = s > 0.5 && s < 2.0 && gn > 8.0 && gn < 12.0 &&
+                    std::abs(s - 1.0) > 0.05;
+            if (agree) s = std::min(1.25, std::max(0.8, s));
+          }
           if (agree) {
             // rescale the internal map to metric: X' = s X, t' = s t
             for (auto& mp : T->mpts) mp.X *= s;
@@ -3572,7 +3584,7 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
   cv::Mat last_center = -last.R.t() * last.t;
   double trans = cv::norm(cam_center - last_center);
   double rot = rotation_angle_deg(dR);
-  bool coverage_low = inliers.size() < 50 && T->frames_since_kf >= 3;
+  bool coverage_low = inliers.size() < 80 && T->frames_since_kf >= 2;
   if (!(trans > T->kf_min_translation || rot > T->kf_min_rotation_deg ||
         coverage_low)) {
     return 0;
@@ -3591,11 +3603,14 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
     mp.desc = desc.row(row).clone();
     mp.last_kf = kf_id;
   }
-  // fresh triangulations vs the previous keyframe AND the oldest window
-  // keyframe (the latter has real baseline even during keyframe bursts)
-  for (const WinKF* ref :
-       {&T->wkfs.back(),
-        T->wkfs.size() > 1 ? &T->wkfs.front() : &T->wkfs.back()}) {
+  // fresh triangulations vs EVERY window keyframe (round-5: the two-ref
+  // version starved the map at ~235 points — guided matches decayed to
+  // ~25 and tracking died mid-sequence; ORB-SLAM3 likewise triangulates
+  // against all covisible keyframes, LocalMapping::CreateNewMapPoints).
+  // `used` dedups rows across refs, so extra refs only ADD coverage.
+  std::vector<const WinKF*> tri_refs;
+  for (const auto& wkf : T->wkfs) tri_refs.push_back(&wkf);
+  for (const WinKF* ref : tri_refs) {
     std::vector<int> tri_rows;
     std::vector<cv::Point3f> tri_world;
     std::vector<cv::Point2f> tri_px_prev;
@@ -3632,7 +3647,7 @@ int sg_tracker_track_mono(void* handle, const unsigned char* gray, int w,
   T->frames_since_kf = 0;
   push_global(kf_id, R, t, kps, desc);
 
-  retire_stale_points(T, frame_no, /*stale_after=*/40);
+  retire_stale_points(T, frame_no, /*stale_after=*/100);
 
   local_ba(T, K, /*nfix=*/2);  // mono: two fixed poses gauge the scale
   // adopt the BA-refined newest pose as the tracking state and output

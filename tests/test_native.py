@@ -276,3 +276,86 @@ def test_accel_bias_recovery_known_gravity():
     assert np.any(ab != 0.0), "bias solve never committed"
     err = np.linalg.norm(ab - bias_true)
     assert err < 0.35, (ab, bias_true, err)
+
+
+def test_mono_inertial_scale_recovery():
+    """Mono + IMU on a synthetic dot scene: the horizon-based [s; g; v0]
+    estimator (tracker.cpp mono-inertial initialization) must commit a
+    metric rescale — poll_scale surfaces a factor, gravity lands near
+    truth, and the FINAL keyframe trajectory is metric without post-hoc
+    scale correction (reference contract: ORB-SLAM3 ScaleRefinement ops,
+    LocalMapping.cc:1296-1305)."""
+    from segs_slam_tpu.utils.make_imu import derive_imu
+    from segs_slam_tpu.core.se3 import rotmat_to_quat
+    import jax.numpy as jnp
+
+    w, h = 320, 240
+    fx = fy = 200.0
+    rng = np.random.default_rng(5)
+    pts = rng.uniform([-2.2, -1.5, 1.4], [2.2, 1.5, 3.4], (800, 3))
+    n_frames, fps = 240, 30.0
+
+    def pose(i):
+        t = i / fps
+        yaw = 0.10 * np.sin(2 * np.pi * t / 2.7)
+        cy_, sy = np.cos(yaw), np.sin(yaw)
+        Ry = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
+        R = Ry.T
+        c = np.array([
+            0.45 * np.sin(2 * np.pi * t / 2.3),
+            0.20 * np.sin(2 * np.pi * t / 1.3 + 0.4),
+            0.15 * np.sin(2 * np.pi * t / 1.9 + 1.1),
+        ])
+        return R, -R @ c
+
+    poses = []
+    for i in range(n_frames):
+        R, t = pose(i)
+        q = np.asarray(rotmat_to_quat(jnp.asarray(R, jnp.float32)), float)
+        poses.append((q, t))
+    times, gyro, accel = derive_imu(poses, cam_fps=fps, imu_rate=200.0)
+
+    tracker = NativeTracker(fx, fy, w / 2, h / 2, n_features=900)
+    dt_s = times[1] - times[0]
+    cur = 0
+    est, gt = [], []
+    scale_polled = 1.0
+    for i in range(n_frames):
+        t_frame = i / fps
+        while cur < len(times) and times[cur] < t_frame - 1e-9:
+            tracker.feed_imu(dt_s, gyro[cur], accel[cur])
+            cur += 1
+        R, t = pose(i)
+        p = (R @ pts.T).T + t
+        uv = np.stack([p[:, 0] / p[:, 2] * fx + w / 2,
+                       p[:, 1] / p[:, 2] * fy + h / 2], 1)
+        img = _render_dots(w, h, uv)
+        status, pose7, n_inl = tracker.track_mono(img)
+        s = tracker.poll_scale()
+        if s > 0.0:
+            scale_polled *= s
+        if status >= 0:
+            w_, x_, y_, z_ = pose7[3:7]
+            Re = np.array([
+                [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_),
+                 2 * (x_ * z_ + w_ * y_)],
+                [2 * (x_ * y_ + w_ * z_), 1 - 2 * (x_ * x_ + z_ * z_),
+                 2 * (y_ * z_ - w_ * x_)],
+                [2 * (x_ * z_ - w_ * y_), 2 * (y_ * z_ + w_ * x_),
+                 1 - 2 * (x_ * x_ + y_ * y_)],
+            ])
+            est.append(-Re.T @ np.asarray(pose7[0:3]))
+            gt.append(-R.T @ t)
+
+    assert scale_polled != 1.0, "no scale refinement ever committed"
+    _, grav, state = tracker.imu_init_state()
+    assert state >= 1
+    g = np.asarray(grav)
+    # derive_imu's default gravity is (0, 9.81, 0) in world
+    cosang = g[1] / (np.linalg.norm(g) + 1e-12)
+    assert cosang > 0.95, grav
+
+    from segs_slam_tpu.eval.metrics import ate_rmse
+    r = ate_rmse(np.stack(est[-120:]), np.stack(gt[-120:]),
+                 correct_scale=True)
+    assert 0.7 < r["scale"] < 1.4, r["scale"]
