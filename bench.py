@@ -143,9 +143,13 @@ def _eval_fps(cap, compact, nlarge):
         cam_in = {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
         rc = RasterConfig(tile=16, compact=compact, kmax=16, chunk=256,
                           ksmall=4, nlarge=nlarge)
-        # production eval config (trainer._eval_render applies the same
-        # upgrade): round-5 sweep winner, sel_direct + pack8 + 3-tier
-        rc = rc.eval_variant(width, height)
+        # production eval config (trainer._eval_render does the same):
+        # sel_direct + pack8 + 3-tier with tier prefixes CALIBRATED from
+        # this map's footprint histogram (renderer.calibrate_eval_config)
+        from segs_slam_tpu.models.renderer import calibrate_eval_config
+
+        rc = calibrate_eval_config(rc, mc, anchors, decoders, [cam_in],
+                                   width, height)
         chain = EvalRenderer(mc, rc, width, height, jnp.zeros(3))
         # recorder methodology (eval/recorder.py): batches of RENDER_BATCH
         # frames per dispatch through render_batch

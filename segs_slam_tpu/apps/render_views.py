@@ -88,15 +88,26 @@ def main(argv=None):
     active = np.asarray(ts.anchors.active)
     center = anchors_np[active].mean(axis=0)
 
-    chain = EvalRenderer(mc, rc.eval_variant(w, h), w, h, jnp.zeros(3))
-
-    def _render(cam_in):
-        return chain(ts.anchors, ts.decoders, cam_in)
-
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     poses = orbit_poses(center, args.orbit_radius, -0.3, args.orbit_frames,
                         center + np.array([0, 0, 0.5]))
+
+    from segs_slam_tpu.models.renderer import calibrate_eval_config
+
+    def _cam_in(i, q, t):
+        kf = Keyframe(kf_id=i, camera=cam, quat=q, trans=t)
+        return {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}
+
+    cal_cams = [_cam_in(i, q, t)
+                for i, (q, t) in enumerate(poses[:: max(1, len(poses) // 4)])]
+    rc = calibrate_eval_config(rc, mc, ts.anchors, ts.decoders, cal_cams[:4],
+                               w, h)
+    chain = EvalRenderer(mc, rc, w, h, jnp.zeros(3))
+
+    def _render(cam_in):
+        return chain(ts.anchors, ts.decoders, cam_in)
+
     for i, (q, t) in enumerate(poses):
         kf = Keyframe(kf_id=i, camera=cam, quat=q, trans=t)
         cam_in = {k: jnp.asarray(v) for k, v in kf.render_inputs().items()}

@@ -119,14 +119,20 @@ def build_renderer(args):
                       chunk=256, ksmall=args.ksmall,
                       nlarge=args.nlarge if args.ksmall else 0)
 
-    chain = EvalRenderer(mc, rc.eval_variant(w, h), w, h, jnp.zeros(3))
-
-    def _render(cam_in):
-        return chain(ts.anchors, ts.decoders, cam_in)
-
     anchors_np = np.asarray(ts.anchors.anchor)
     active = np.asarray(ts.anchors.active)
     center = anchors_np[active].mean(axis=0)
+
+    from segs_slam_tpu.models.renderer import calibrate_eval_config
+
+    _kf0 = Keyframe(kf_id=0, camera=cam, quat=[1, 0, 0, 0],
+                    trans=(-center).tolist())
+    _cal = {k: jnp.asarray(v) for k, v in _kf0.render_inputs().items()}
+    rc = calibrate_eval_config(rc, mc, ts.anchors, ts.decoders, [_cal], w, h)
+    chain = EvalRenderer(mc, rc, w, h, jnp.zeros(3))
+
+    def _render(cam_in):
+        return chain(ts.anchors, ts.decoders, cam_in)
 
     lock = threading.Lock()
 
@@ -248,14 +254,18 @@ def serve_live(trainer, port=8600, size=480):
         st = trainer.state  # atomic snapshot of the live pytree
         if st is None:
             return np.full((h, w, 3), 64, np.uint8)
+        cam_in = _pose_to_cam_inputs(pos, yaw, pitch, cam)
         if "chain" not in chain_box:
             # lazy: the first request pays the eval-chain compile (the
-            # persistent cache makes reruns instant)
+            # persistent cache makes reruns instant); tier prefixes are
+            # calibrated against the live map at this moment
+            from segs_slam_tpu.models.renderer import calibrate_eval_config
+
+            rc = calibrate_eval_config(
+                trainer.raster_config, trainer.model_config,
+                st.anchors, st.decoders, [cam_in], w, h)
             chain_box["chain"] = EvalRenderer(
-                trainer.model_config,
-                trainer.raster_config.eval_variant(w, h), w, h,
-                jnp.zeros(3))
-        cam_in = _pose_to_cam_inputs(pos, yaw, pitch, cam)
+                trainer.model_config, rc, w, h, jnp.zeros(3))
         with lock:  # one viewer render in flight at a time
             img = np.asarray(chain_box["chain"](st.anchors, st.decoders,
                                                 cam_in))

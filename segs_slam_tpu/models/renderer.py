@@ -214,6 +214,82 @@ class EvalRenderer:
         return (self._render,)
 
 
+def calibrate_eval_config(raster_config: RasterConfig,
+                          model_config: ModelConfig,
+                          anchors: AnchorState,
+                          decoders: dict,
+                          cams: list[dict],
+                          width: int, height: int,
+                          headroom: float = 2.0) -> RasterConfig:
+    """Size the packed-eval tier prefixes (nmid/nlarge) from the MAP'S OWN
+    footprint distribution instead of fixed compact fractions.
+
+    The tiered expansion drops tile coverage for any gaussian whose
+    footprint exceeds its tier's budget — harmless when the nmid/nlarge
+    prefixes cover every gaussian with touched > ksmall/kmid, and a
+    uniform dimming haze when they don't (measured: the compact//8 static
+    formula cost 12 dB on a REAL trained 8k-iteration map whose footprint
+    distribution is far heavier than the random synthetic maps the sweep
+    validated on). A one-off host pre-pass renders nothing: it runs the
+    decode+preprocess jit on a few representative cameras, counts
+    footprints above each tier threshold, and bakes 2x-headroom
+    power-of-two prefix sizes into the returned static config — shapes
+    stay static per compile, sizes fit the actual map (XLA-idiomatic
+    host-side shape selection). Falls back to eval_variant's formula
+    sizes as a floor.
+    """
+    import math
+
+    import jax
+
+    from segs_slam_tpu.ops.rasterizer.preprocess import (
+        compute_cov3d,
+        preprocess_gaussians,
+    )
+
+    rc = raster_config.eval_variant(width, height)
+    if not rc.sel_direct:
+        return rc  # packed path not applicable; nothing to calibrate
+
+    @jax.jit
+    def _counts(anchors, decoders, cam):
+        grid_scale3 = jnp.exp(anchors.scaling[:, :3])
+        rotation = anchors.rotation / jnp.maximum(
+            jnp.linalg.norm(anchors.rotation, axis=-1, keepdims=True),
+            1e-12)
+        visible = visible_filter(
+            anchors.anchor, grid_scale3, rotation,
+            cam["world_view_transform"], cam["full_proj_transform"],
+            width, height, cam["tan_fovx"], cam["tan_fovy"],
+            config=rc, valid=anchors.active)
+        neural = generate_neural_gaussians(
+            anchors, decoders, cam["camera_center"], cam["pose7"],
+            visible, model_config)
+        cov3d = compute_cov3d(neural.scaling, neural.rotation, 1.0)
+        pr = preprocess_gaussians(
+            neural.xyz, cov3d, cam["world_view_transform"],
+            cam["full_proj_transform"], width, height,
+            cam["tan_fovx"], cam["tan_fovy"], rc, valid_in=neural.valid)
+        t = jnp.where((pr.radius > 0) & neural.valid,
+                      jnp.minimum(pr.tiles_touched, rc.kmax), 0)
+        return (jnp.sum(t > rc.ksmall), jnp.sum(t > rc.kmid))
+
+    n_mid = n_large = 0
+    for cam in cams:
+        a, b = _counts(anchors, decoders, cam)
+        n_mid = max(n_mid, int(a))
+        n_large = max(n_large, int(b))
+
+    def pow2(n):
+        return 1 << max(0, math.ceil(math.log2(max(n, 1))))
+
+    import dataclasses
+
+    nmid = min(rc.compact, max(rc.nmid, pow2(int(n_mid * headroom))))
+    nlarge = min(nmid, max(rc.nlarge, pow2(int(n_large * headroom))))
+    return dataclasses.replace(rc, nmid=nmid, nlarge=nlarge)
+
+
 class ChainedEvalRenderer:
     """Eval-only render as a chain of three jit dispatches.
 

@@ -542,12 +542,26 @@ class Trainer:
         round-2 three-stage chain — see PERF_NOTES.md for why the old
         chained-vs-fused comparison was an async-ack artifact."""
         if not hasattr(self, "_eval_render_chain"):
-            from segs_slam_tpu.models.renderer import EvalRenderer
+            from segs_slam_tpu.models.renderer import (
+                EvalRenderer,
+                calibrate_eval_config,
+            )
 
             # round-5 production eval config: the 65k-sweep winner
             # (sel_direct + pack8 + 3-tier; PERF_NOTES.md) when the packed
-            # constraints hold, else the training config unchanged.
-            rc = self.raster_config.eval_variant(self.width, self.height)
+            # constraints hold, else the training config unchanged. Tier
+            # prefixes are CALIBRATED against the live map's footprint
+            # histogram over a few keyframe views — static formula sizes
+            # measured a 12 dB dimming haze on real maps (renderer.py
+            # calibrate_eval_config).
+            kfs = sorted(self.scene.keyframes.items())
+            step = max(1, len(kfs) // 4)
+            cams = [self.refined_cam(kf) for _, kf in kfs[::step][:4]]
+            rc = calibrate_eval_config(
+                self.raster_config, self.model_config, self.state.anchors,
+                self.state.decoders, cams, self.width, self.height,
+            ) if cams and not self.interpret else \
+                self.raster_config.eval_variant(self.width, self.height)
             self._eval_render_chain = EvalRenderer(
                 self.model_config, rc, self.width,
                 self.height, self._bg, interpret=self.interpret)

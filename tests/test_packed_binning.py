@@ -497,3 +497,42 @@ def test_eval_variant_parity_and_fallback():
     # and tiny kmax cannot host the 3-tier split
     rc2 = RasterConfig(tile=16, compact=256, kmax=4, chunk=64)
     assert rc2.eval_variant(w, h) == rc2
+
+
+def test_calibrated_tiers_on_heavy_footprints():
+    """Regression for the round-5 eval dimming bug: eval_variant's static
+    compact//8 tier formula silently truncates tile coverage on maps whose
+    footprint distribution is heavy (REAL trained maps; measured -12 dB on
+    the 8k-iteration ablation map). calibrate_eval_config must size the
+    tier prefixes from the map's own touched histogram and restore parity
+    with the exact renderer; the formula config on the same scene must show
+    the defect this test exists for."""
+    from segs_slam_tpu.models.renderer import (
+        EvalRenderer,
+        calibrate_eval_config,
+    )
+
+    mc, anchors, decoders, cam_in, w, h = _scene(seed=23, n=60)
+    # heavy footprints: large world-space scales -> most gaussians touch
+    # far more than ksmall tiles
+    anchors = anchors._replace(
+        scaling=jnp.full_like(anchors.scaling, np.log(0.8)))
+    bg = jnp.zeros(3)
+    rc = RasterConfig(tile=16, compact=256, kmax=8, chunk=64,
+                      ksmall=4, nlarge=64)
+
+    exact = EvalRenderer(mc, rc, w, h, bg, interpret=True)(
+        anchors, decoders, cam_in)
+    assert float(jnp.max(exact)) > 0.0
+
+    cal = calibrate_eval_config(rc, mc, anchors, decoders, [cam_in], w, h)
+    assert cal.sel_direct and cal.pack8
+    got = EvalRenderer(mc, cal, w, h, bg, interpret=True)(
+        anchors, decoders, cam_in)
+    d = np.abs(np.asarray(got) - np.asarray(exact))
+    assert d.max() < 2e-2, d.max()
+
+    # the formula sizes must be insufficient on this scene — otherwise the
+    # scene no longer exercises the regression and needs heavier footprints
+    formula = rc.eval_variant(w, h)
+    assert cal.nmid > formula.nmid or cal.nlarge > formula.nlarge
